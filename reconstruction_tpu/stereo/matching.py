@@ -1,0 +1,296 @@
+"""Dense NCC matching: brute-force, coarse-guided, and hole rematch.
+
+Replaces `LowestLevelInitialMatch` (`CStereoMatching.cpp:170-227`),
+`HighLevelInitialMatch` (`:231-308`) and `Rematch` (`:499-570`).
+
+TPU-first design: instead of the reference's per-pixel candidate scans
+(pointer-chasing over window vectors), all three matchers reduce to ONE
+primitive — a sweep over uniform epipolar shifts `s` with a running
+argmax.  For each shift the zero-mean NCC of every pixel against the
+target column x+s is a handful of fused element-wise ops on (H, W) maps
+(box-filter formulation of `WindowToVec`'s zero-mean dot,
+`CManageData.cpp:81-90`):
+
+    NCC_s(x) = (B_s(x) - n mu_L(x) mu_R(x+s)) / (norm_L(x) norm_R(x+s))
+    B_s = box( sum_c L * shift_x(R, s) )
+
+The sweep runs as a `lax.fori_loop` whose (traced) trip count is the
+actual disparity range present in the per-pixel bounds — no gathers, no
+data-dependent shapes, pure VPU work that XLA fuses into one loop body.
+Candidate order (ascending target column) and strict-> argmax update
+reproduce the reference's first-maximum tie-breaking
+(`CStereoMatching.cpp:213-217`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from reconstruction_tpu.config import NOMATCH
+from reconstruction_tpu.stereo.margins import Margins
+from reconstruction_tpu.stereo.ncc import shifted
+
+
+class NccMoments(NamedTuple):
+    """Per-pixel window statistics for the box-filter NCC."""
+
+    mean: jnp.ndarray       # (H, W) window mean over (2r+1)^2 * C values
+    inv_norm: jnp.ndarray   # (H, W) 1 / ||window - mean|| (0 -> 1)
+    n: int                  # number of values per window
+
+
+def _box_sum(x: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Separable (2r+1)^2 box sum with zero padding."""
+    acc = x
+    out = x
+    for d in range(1, radius + 1):
+        out = out + shifted(x, 0, d) + shifted(x, 0, -d)
+    acc = out
+    out = acc
+    for d in range(1, radius + 1):
+        out = out + shifted(acc, d, 0) + shifted(acc, -d, 0)
+    return out
+
+
+@partial(jax.jit, static_argnames=("radius",))
+def ncc_moments(img: jnp.ndarray, radius: int) -> NccMoments:
+    """Window mean and inverse norm maps for one image ((H, W, C) f32)."""
+    if img.ndim == 2:
+        img = img[..., None]
+    C = img.shape[-1]
+    n = (2 * radius + 1) ** 2 * C
+    s1 = _box_sum(img.sum(-1), radius)
+    s2 = _box_sum((img * img).sum(-1), radius)
+    mean = s1 / n
+    var = jnp.maximum(s2 - n * mean * mean, 0.0)
+    norm = jnp.sqrt(var)
+    inv = jnp.where(norm == 0, 1.0, 1.0 / jnp.where(norm == 0, 1.0, norm))
+    return NccMoments(mean=mean, inv_norm=inv, n=n)
+
+
+def _shift_x(a: jnp.ndarray, s: jnp.ndarray, W: int, fill: float = 0.0) -> jnp.ndarray:
+    """out[..., x] = a[..., x+s] for traced s, zero fill out of range."""
+    pad = [(0, 0)] * (a.ndim - 1) + [(W, W)]
+    ap = jnp.pad(a, pad, constant_values=fill)
+    start = [0] * (a.ndim - 1) + [W + s]
+    return jax.lax.dynamic_slice(ap, start, a.shape)
+
+
+class SweepResult(NamedTuple):
+    disparity: jnp.ndarray  # (H, W) f32, NOMATCH where unmatched
+    score: jnp.ndarray      # (H, W) best NCC (-2 where none)
+
+
+@partial(jax.jit, static_argnames=("radius",))
+def ncc_sweep_match(
+    imgL: jnp.ndarray,
+    imgR: jnp.ndarray,
+    validR: jnp.ndarray,
+    active: jnp.ndarray,
+    bound_lo: jnp.ndarray,
+    bound_hi: jnp.ndarray,
+    radius: int,
+) -> SweepResult:
+    """Argmax-NCC match of active left pixels against target columns in
+    [bound_lo, bound_hi] (absolute, inclusive, per pixel).
+
+    Args:
+      imgL, imgR: (H, W, C) float32.
+      validR: (H, W) bool target-pixel validity (mask == 255 test,
+        `CStereoMatching.cpp:209-210`).
+      active: (H, W) bool, which left pixels to match.
+      bound_lo, bound_hi: (H, W) int32 absolute target-column bounds.
+      radius: NCC window radius.
+
+    Returns disparity d = t - x (reference convention) and the best score.
+    A pixel matches only if some candidate scores > -1
+    (`CStereoMatching.cpp:206,219`).
+    """
+    H, W = imgL.shape[:2]
+    # Center values for f32 conditioning: zero-mean NCC is invariant to a
+    # global constant offset, but the box-sum moment terms are not — keeping
+    # raw magnitudes small preserves ~2 extra bits in the cancellation
+    # (cross - n mu_L mu_R).
+    imgL = imgL.astype(jnp.float32) - 128.0
+    imgR = imgR.astype(jnp.float32) - 128.0
+    momL = ncc_moments(imgL, radius)
+    momR = ncc_moments(imgR, radius)
+    n = momL.n
+    x = jnp.arange(W, dtype=jnp.int32)[None, :]
+
+    s_lo_px = jnp.where(active, bound_lo - x, jnp.int32(1 << 20))
+    s_hi_px = jnp.where(active, bound_hi - x, jnp.int32(-(1 << 20)))
+    any_active = active.any()
+    s_min = jnp.where(any_active, s_lo_px.min(), 0)
+    s_max = jnp.where(any_active, s_hi_px.max(), -1)
+    s_min = jnp.clip(s_min, -(W - 1), W - 1)
+    s_max = jnp.clip(s_max, -(W - 1), W - 1)
+
+    validR_f = validR.astype(jnp.float32)
+    imgLf = imgL if imgL.ndim == 3 else imgL[..., None]
+    imgRf = imgR if imgR.ndim == 3 else imgR[..., None]
+
+    def body(s, state):
+        best_score, best_t = state
+        Rs = _shift_x(imgRf.transpose(2, 0, 1), s, W).transpose(1, 2, 0)
+        cross = _box_sum((imgLf * Rs).sum(-1), radius)
+        muR_s = _shift_x(momR.mean, s, W)
+        invR_s = _shift_x(momR.inv_norm, s, W, fill=1.0)
+        score = (cross - n * momL.mean * muR_s) * momL.inv_norm * invR_s
+        t = x + s
+        ok = (
+            active
+            & (_shift_x(validR_f, s, W) > 0.5)
+            & (t >= bound_lo)
+            & (t <= bound_hi)
+        )
+        score = jnp.where(ok, score, -2.0)
+        upd = score > best_score
+        return (jnp.where(upd, score, best_score),
+                jnp.where(upd, t, best_t))
+
+    init = (jnp.full((H, W), -1.0, jnp.float32), jnp.full((H, W), -1, jnp.int32))
+    best_score, best_t = jax.lax.fori_loop(s_min, s_max + 1, body, init)
+    matched = best_t >= 0
+    disp = jnp.where(matched, (best_t - x).astype(jnp.float32), float(NOMATCH))
+    return SweepResult(disparity=disp, score=best_score)
+
+
+def brute_force_match(
+    imgL: jnp.ndarray,
+    imgR: jnp.ndarray,
+    validL: jnp.ndarray,
+    validR: jnp.ndarray,
+    mL: Margins,
+    mR: Margins,
+    radius: int,
+) -> jnp.ndarray:
+    """Level-0 exhaustive scanline match (`CStereoMatching.cpp:170-227`).
+
+    Source pixels: valid mask inside the source view's margins; candidate
+    columns: the target view's [XL, XR] margin span.
+    """
+    H, W = validL.shape
+    y = jnp.arange(H, dtype=jnp.int32)[:, None]
+    x = jnp.arange(W, dtype=jnp.int32)[None, :]
+    active = (validL & (y >= mL.YL) & (y <= mL.YR)
+              & (x >= mL.XL) & (x <= mL.XR))
+    lo = jnp.broadcast_to(mR.XL, (H, W)).astype(jnp.int32)
+    hi = jnp.broadcast_to(mR.XR, (H, W)).astype(jnp.int32)
+    return ncc_sweep_match(imgL, imgR, validR, active, lo, hi, radius).disparity
+
+
+def _forward_fill(values: jnp.ndarray, known: jnp.ndarray, init: jnp.ndarray) -> jnp.ndarray:
+    """Per-row forward fill along x: value of the latest known column,
+    ``init`` before the first known one.  O(log W) via cummax + gather."""
+    W = values.shape[-1]
+    idx = jnp.arange(W, dtype=jnp.int32)[None, :]
+    last = jax.lax.cummax(jnp.where(known, idx, -1), axis=-1)
+    filled = jnp.take_along_axis(values, jnp.maximum(last, 0), axis=-1)
+    return jnp.where(last >= 0, filled, init)
+
+
+def guided_match(
+    imgL: jnp.ndarray,
+    imgR: jnp.ndarray,
+    validL: jnp.ndarray,
+    validR: jnp.ndarray,
+    coarse_disp: jnp.ndarray,
+    mL: Margins,
+    mR: Margins,
+    radius: int,
+    offset: int = 2,
+) -> jnp.ndarray:
+    """Coarse-to-fine guided match (`CStereoMatching.cpp:231-308`).
+
+    The coarse disparity (previous pyramid level, half resolution) guides a
+    narrow search: for pixels whose coarse parent is valid, target columns
+    [x + trunc(2 d + 0.5) - offset, x + trunc(2 d + 0.5) + offset]
+    (`:286-287`); for holes, the left bound persists from the last valid
+    pixel in the row (the reference's running `boundary_L`) and the right
+    bound derives from the next valid coarse disparity along the row
+    (`:273-283`, including its coarse-index formula `i + trunc(2 d) +
+    offset + 1`).  Both fills are O(log W) scans here.
+    """
+    H, W = validL.shape
+    Hc, Wc = coarse_disp.shape
+    y = jnp.arange(H, dtype=jnp.int32)[:, None]
+    x = jnp.arange(W, dtype=jnp.int32)[None, :]
+
+    # Coarse parent lookup: cy = (y+1)//2, cx = (x+1)//2
+    # (`CStereoMatching.cpp:259,267`), clamped in-range (the reference
+    # reads out of bounds for the last row/col; masks make that dead).
+    cy = jnp.clip((y + 1) // 2, 0, Hc - 1)
+    cx = jnp.clip((x + 1) // 2, 0, Wc - 1)
+    s_par = coarse_disp[cy, cx]
+    par_valid = s_par != NOMATCH
+
+    XL1 = mR.XL.astype(jnp.int32)
+    XR1 = mR.XR.astype(jnp.int32)
+
+    # Valid-parent bounds; trunc() matches C double->int casts.
+    d2 = jnp.trunc(s_par * 2.0 + 0.5).astype(jnp.int32)
+    lo_v = jnp.maximum(x + d2 - offset, XL1)
+    hi_v = jnp.minimum(x + d2 + offset, XR1)
+
+    # Hole right bound: next valid coarse column i > cx in the row gives
+    # min(i + trunc(2 d_i) + offset + 1, XR1)  (`:273-283`).
+    ci = jnp.arange(Wc, dtype=jnp.int32)[None, :]
+    cvalid = coarse_disp != NOMATCH
+    nxt_rev = jax.lax.cummax(
+        jnp.where(cvalid, Wc - 1 - ci, -1)[:, ::-1], axis=-1)[:, ::-1]
+    nxt = jnp.where(nxt_rev >= 0, Wc - 1 - nxt_rev, Wc)  # next valid >= ci
+    # Strictly after cx: evaluate at cx+1.
+    nxt_after = jnp.concatenate(
+        [nxt[:, 1:], jnp.full((Hc, 1), Wc, jnp.int32)], axis=-1)
+    i_star = nxt_after[cy, cx]  # first valid coarse col strictly after cx
+    # Reference scans i in (cx, XR>>1]; cap accordingly.
+    i_limit = jnp.minimum((jnp.broadcast_to(mL.XR, (H, W)) >> 1), Wc - 1)
+    la_exists = i_star <= i_limit
+    d_next = jnp.where(
+        la_exists, coarse_disp[cy, jnp.clip(i_star, 0, Wc - 1)], 0.0)
+    hi_la = jnp.minimum(
+        i_star + jnp.trunc(d_next * 2.0).astype(jnp.int32) + offset + 1, XR1)
+
+    # Running bounds across the row (reference keeps boundary_L/R as row
+    # state, `:260-261`): forward fills with margin inits.
+    lo = _forward_fill(jnp.where(par_valid, lo_v, 0), par_valid,
+                       jnp.broadcast_to(XL1, (H, W)))
+    hi_known = par_valid | la_exists
+    hi_candidate = jnp.where(par_valid, hi_v, hi_la)
+    hi = _forward_fill(hi_candidate, hi_known,
+                       jnp.broadcast_to(XR1, (H, W)))
+
+    active = (validL & (y >= mL.YL) & (y <= mL.YR)
+              & (x >= mL.XL) & (x <= mL.XR))
+    return ncc_sweep_match(imgL, imgR, validR, active, lo, hi, radius).disparity
+
+
+def rematch(
+    imgL: jnp.ndarray,
+    imgR: jnp.ndarray,
+    validL: jnp.ndarray,
+    validR: jnp.ndarray,
+    disparity: jnp.ndarray,
+    bound_lo: jnp.ndarray,
+    bound_hi: jnp.ndarray,
+    mL: Margins,
+    radius: int,
+) -> jnp.ndarray:
+    """Hole re-matching within propagated bounds
+    (`CStereoMatching.cpp:499-570`): only NOMATCH pixels with a valid mask
+    are re-scanned over [BL, BR]; matched pixels keep their disparity."""
+    H, W = validL.shape
+    y = jnp.arange(H, dtype=jnp.int32)[:, None]
+    x = jnp.arange(W, dtype=jnp.int32)[None, :]
+    active = (validL & (disparity == NOMATCH)
+              & (y >= mL.YL) & (y <= mL.YR)
+              & (x >= mL.XL) & (x <= mL.XR))
+    res = ncc_sweep_match(imgL, imgR, validR, active,
+                          bound_lo.astype(jnp.int32),
+                          bound_hi.astype(jnp.int32), radius)
+    return jnp.where(active, res.disparity, disparity)
