@@ -315,6 +315,14 @@ def propagate_bounds(
     up_lo, up_hi = vertical(True)
     BL = jnp.where(has_d, ref, jnp.maximum(dn_lo, up_lo))
     BR = jnp.where(has_d, ref, jnp.minimum(dn_hi, up_hi))
+    # Row YL order quirk: the down sweep pins row YL's valid pixels FIRST,
+    # then the up sweep max-writes into row YL (`:872-881` runs after
+    # `:842-869`), so valid pixels at YL combine with the upward carry.
+    # Every other row is re-pinned by whichever sweep runs second.
+    y_idx = jnp.arange(H, dtype=jnp.int32)[:, None]
+    at_yl = (y_idx == m_src.YL) & has_d
+    BL = jnp.where(at_yl, jnp.maximum(ref, up_lo), BL)
+    BR = jnp.where(at_yl, jnp.minimum(ref, up_hi), BR)
 
     # --- forward horizontal (`:903-916`): bl(x) = mask(x-1) ?
     # max(bl(x-1) - 1, V(x)) : V(x);  br analogous with +MD.

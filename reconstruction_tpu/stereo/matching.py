@@ -189,34 +189,30 @@ def _forward_fill(values: jnp.ndarray, known: jnp.ndarray, init: jnp.ndarray) ->
     ``init`` before the first known one.  O(log W) via cummax + gather."""
     W = values.shape[-1]
     idx = jnp.arange(W, dtype=jnp.int32)[None, :]
-    last = jax.lax.cummax(jnp.where(known, idx, -1), axis=-1)
+    last = jax.lax.cummax(jnp.where(known, idx, -1), axis=1)
     filled = jnp.take_along_axis(values, jnp.maximum(last, 0), axis=-1)
     return jnp.where(last >= 0, filled, init)
 
 
-def guided_match(
-    imgL: jnp.ndarray,
-    imgR: jnp.ndarray,
-    validL: jnp.ndarray,
-    validR: jnp.ndarray,
+def guided_search_bounds(
     coarse_disp: jnp.ndarray,
     mL: Margins,
     mR: Margins,
-    radius: int,
+    H: int,
+    W: int,
     offset: int = 2,
-) -> jnp.ndarray:
-    """Coarse-to-fine guided match (`CStereoMatching.cpp:231-308`).
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-pixel target-column bounds of `HighLevelInitialMatch`
+    (`CStereoMatching.cpp:259-288`).
 
-    The coarse disparity (previous pyramid level, half resolution) guides a
-    narrow search: for pixels whose coarse parent is valid, target columns
-    [x + trunc(2 d + 0.5) - offset, x + trunc(2 d + 0.5) + offset]
-    (`:286-287`); for holes, the left bound persists from the last valid
-    pixel in the row (the reference's running `boundary_L`) and the right
-    bound derives from the next valid coarse disparity along the row
-    (`:273-283`, including its coarse-index formula `i + trunc(2 d) +
-    offset + 1`).  Both fills are O(log W) scans here.
+    For pixels whose coarse parent is valid: [x + trunc(2 d + 0.5) -
+    offset, x + trunc(2 d + 0.5) + offset] (`:286-287`); for holes, the
+    left bound persists from the last valid pixel in the row (the
+    reference's running `boundary_L`) and the right bound derives from the
+    next valid coarse disparity along the row (`:273-283`, including its
+    coarse-index formula `i + trunc(2 d) + offset + 1`).  Both fills are
+    O(log W) scans.
     """
-    H, W = validL.shape
     Hc, Wc = coarse_disp.shape
     y = jnp.arange(H, dtype=jnp.int32)[:, None]
     x = jnp.arange(W, dtype=jnp.int32)[None, :]
@@ -242,7 +238,7 @@ def guided_match(
     ci = jnp.arange(Wc, dtype=jnp.int32)[None, :]
     cvalid = coarse_disp != NOMATCH
     nxt_rev = jax.lax.cummax(
-        jnp.where(cvalid, Wc - 1 - ci, -1)[:, ::-1], axis=-1)[:, ::-1]
+        jnp.where(cvalid, Wc - 1 - ci, -1)[:, ::-1], axis=1)[:, ::-1]
     nxt = jnp.where(nxt_rev >= 0, Wc - 1 - nxt_rev, Wc)  # next valid >= ci
     # Strictly after cx: evaluate at cx+1.
     nxt_after = jnp.concatenate(
@@ -257,14 +253,35 @@ def guided_match(
         i_star + jnp.trunc(d_next * 2.0).astype(jnp.int32) + offset + 1, XR1)
 
     # Running bounds across the row (reference keeps boundary_L/R as row
-    # state, `:260-261`): forward fills with margin inits.
-    lo = _forward_fill(jnp.where(par_valid, lo_v, 0), par_valid,
+    # state, `:260-261`): forward fills with margin inits.  The row scan
+    # starts at XL (`:262`), so columns left of the margin must not seed
+    # the fill.
+    in_row = x >= mL.XL
+    lo = _forward_fill(jnp.where(par_valid, lo_v, 0), par_valid & in_row,
                        jnp.broadcast_to(XL1, (H, W)))
-    hi_known = par_valid | la_exists
+    hi_known = (par_valid | la_exists) & in_row
     hi_candidate = jnp.where(par_valid, hi_v, hi_la)
     hi = _forward_fill(hi_candidate, hi_known,
                        jnp.broadcast_to(XR1, (H, W)))
+    return lo, hi
 
+
+def guided_match(
+    imgL: jnp.ndarray,
+    imgR: jnp.ndarray,
+    validL: jnp.ndarray,
+    validR: jnp.ndarray,
+    coarse_disp: jnp.ndarray,
+    mL: Margins,
+    mR: Margins,
+    radius: int,
+    offset: int = 2,
+) -> jnp.ndarray:
+    """Coarse-to-fine guided match (`CStereoMatching.cpp:231-308`)."""
+    H, W = validL.shape
+    y = jnp.arange(H, dtype=jnp.int32)[:, None]
+    x = jnp.arange(W, dtype=jnp.int32)[None, :]
+    lo, hi = guided_search_bounds(coarse_disp, mL, mR, H, W, offset)
     active = (validL & (y >= mL.YL) & (y <= mL.YR)
               & (x >= mL.XL) & (x <= mL.XR))
     return ncc_sweep_match(imgL, imgR, validR, active, lo, hi, radius).disparity

@@ -1,0 +1,182 @@
+"""Per-level and per-pair stereo drivers.
+
+Reproduces the reference's per-level recipe (`CStereoMatching.cpp:36-113`,
+the behavioral contract in SURVEY.md section 3.2), in exact stage order:
+
+  init/guided match (both dirs) -> smoothness -> ordering -> uniqueness ->
+  rematch (bound propagation inside) -> uniqueness -> median -> refine
+  (30 + 30*level iters) -> uniqueness
+
+and the per-pair driver `MatchAllLayer` (`:15-34`): rectify -> pyramids ->
+levels coarse-to-fine -> triangulate.  Everything per-level runs inside
+one jit; both directions are processed as a batch where possible.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reconstruction_tpu.config import NOMATCH, ReconstructionConfig
+from reconstruction_tpu.core.morphology import erode_mask, valid_mask
+from reconstruction_tpu.core.pyramid import build_pyramid, quantize_u8
+from reconstruction_tpu.core.rectify import RectifyResult, rectify_pair
+from reconstruction_tpu.core.remap import rectify_map, remap_bilinear
+from reconstruction_tpu.stereo.constraints import (
+    median_filter, ordering_constraint, propagate_bounds,
+    smoothness_constraint, uniqueness_constraint)
+from reconstruction_tpu.stereo.margins import Margins, find_margin
+from reconstruction_tpu.stereo.matching import (
+    brute_force_match, guided_match, rematch)
+from reconstruction_tpu.stereo.refine import disparity_refine
+from reconstruction_tpu.stereo.triangulate import PointCloud, disparity_to_cloud
+
+
+class LevelState(NamedTuple):
+    """Both-direction disparities after one pyramid level."""
+
+    disp0: jnp.ndarray  # view0 -> view1
+    disp1: jnp.ndarray  # view1 -> view0
+
+
+@partial(jax.jit, static_argnames=("level", "radius", "offset", "ws",
+                                   "refine_iters", "median_iters", "s_cap"))
+def match_one_level(
+    img0: jnp.ndarray,
+    img1: jnp.ndarray,
+    mask0: jnp.ndarray,
+    mask1: jnp.ndarray,
+    coarse: Optional[LevelState],
+    level: int,
+    radius: int = 2,
+    offset: int = 2,
+    ws: float = 0.03,
+    refine_iters: int = 30,
+    median_iters: int = 1,
+    s_cap: int = 128,
+) -> LevelState:
+    """One pyramid level for both directions (`MatchOneLayer`,
+    `CStereoMatching.cpp:36-113`)."""
+    v0 = valid_mask(mask0)
+    v1 = valid_mask(mask1)
+    m0 = find_margin(v0, radius)
+    m1 = find_margin(v1, radius)
+
+    if level == 0:
+        d0 = brute_force_match(img0, img1, v0, v1, m0, m1, radius)
+        d1 = brute_force_match(img1, img0, v1, v0, m1, m0, radius)
+    else:
+        assert coarse is not None
+        d0 = guided_match(img0, img1, v0, v1, coarse.disp0, m0, m1, radius,
+                          offset)
+        d1 = guided_match(img1, img0, v1, v0, coarse.disp1, m1, m0, radius,
+                          offset)
+
+    d0 = smoothness_constraint(d0, m0)
+    d1 = smoothness_constraint(d1, m1)
+    d0 = ordering_constraint(d0, m0)
+    d1 = ordering_constraint(d1, m1)
+    d0, d1 = uniqueness_constraint(d0, d1, m0, m1)
+
+    bl0, br0 = propagate_bounds(d0, v0, m0, m1)
+    d0 = rematch(img0, img1, v0, v1, d0, bl0, br0, m0, radius)
+    bl1, br1 = propagate_bounds(d1, v1, m1, m0)
+    d1 = rematch(img1, img0, v1, v0, d1, bl1, br1, m1, radius)
+
+    d0, d1 = uniqueness_constraint(d0, d1, m0, m1)
+    d0 = median_filter(d0, v0, m0, median_iters)
+    d1 = median_filter(d1, v1, m1, median_iters)
+
+    d0 = disparity_refine(d0, img0, img1, m0, refine_iters, ws, s_cap)
+    d1 = disparity_refine(d1, img1, img0, m1, refine_iters, ws, s_cap)
+    d0, d1 = uniqueness_constraint(d0, d1, m0, m1)
+    return LevelState(disp0=d0, disp1=d1)
+
+
+@dataclass
+class PairResult:
+    """Output of one camera pair."""
+
+    disparity: np.ndarray           # finest-level view0->view1 disparity
+    cloud: PointCloud
+    rectification: RectifyResult
+    margins0: Margins
+    margins1: Margins
+
+
+def match_pair(
+    cfg: ReconstructionConfig,
+    image0: np.ndarray,
+    image1: np.ndarray,
+    mask0: np.ndarray,
+    mask1: np.ndarray,
+    K0: np.ndarray,
+    Rt0: np.ndarray,
+    K1: np.ndarray,
+    Rt1: np.ndarray,
+) -> PairResult:
+    """Full per-pair pipeline (`MatchAllLayer` body,
+    `CStereoMatching.cpp:17-32`): rectify + remap at working resolution,
+    mask erosion, pyramids, per-level matching, triangulation.
+
+    Images/masks are original-resolution host arrays (BGR / [0,255]).
+    """
+    origin_size = (image0.shape[1], image0.shape[0])
+    working = cfg.finest_size
+    rect = rectify_pair(K0, Rt0, K1, Rt1, origin_size, working)
+
+    # Remap both views to the rectified working grid
+    # (`CStereoMatching.cpp:140-158`).
+    imgs, masks = [], []
+    se = cfg.stereo.mask_erode_base * (1 << (cfg.pyramid_levels - 1))
+    for img, msk, Rr, P in ((image0, mask0, rect.R1, rect.P1_scaled),
+                            (image1, mask1, rect.R2, rect.P2_scaled)):
+        K = K0 if img is image0 else K1
+        mx, my = rectify_map(K, Rr, P, working)
+        im = remap_bilinear(jnp.asarray(img, jnp.float32),
+                            jnp.asarray(mx), jnp.asarray(my))
+        mk = remap_bilinear(jnp.asarray(msk, jnp.float32),
+                            jnp.asarray(mx), jnp.asarray(my))
+        mk = erode_mask(mk, se)
+        imgs.append(quantize_u8(im))
+        masks.append(mk)
+
+    pyr0 = build_pyramid(imgs[0], cfg.pyramid_levels)
+    pyr1 = build_pyramid(imgs[1], cfg.pyramid_levels)
+    mpyr0 = [quantize_u8(m) for m in build_pyramid(masks[0], cfg.pyramid_levels)]
+    mpyr1 = [quantize_u8(m) for m in build_pyramid(masks[1], cfg.pyramid_levels)]
+
+    state: Optional[LevelState] = None
+    for level in range(cfg.pyramid_levels):
+        state = match_one_level(
+            quantize_u8(pyr0[level]), quantize_u8(pyr1[level]),
+            mpyr0[level], mpyr1[level], state, level,
+            radius=cfg.stereo.block_radius,
+            offset=cfg.stereo.disparity_offset,
+            ws=cfg.stereo.refine_ws,
+            refine_iters=cfg.refine_iterations(level),
+            median_iters=cfg.stereo.median_iterations,
+        )
+
+    finest = cfg.pyramid_levels - 1
+    v0 = valid_mask(mpyr0[finest])
+    m0 = find_margin(v0, cfg.stereo.block_radius)
+    m1 = find_margin(valid_mask(mpyr1[finest]), cfg.stereo.block_radius)
+    scale = cfg.lowest_level_size[0] / origin_size[0] * (1 << finest)
+    cloud = disparity_to_cloud(
+        state.disp0, mpyr0[finest], quantize_u8(pyr0[finest]),
+        rect.Q, rect.R_final, rect.T_final, m0, scale,
+        erode_frac=cfg.stereo.cloud_erode_frac,
+    )
+    return PairResult(
+        disparity=np.asarray(state.disp0),
+        cloud=cloud,
+        rectification=rect,
+        margins0=m0,
+        margins1=m1,
+    )

@@ -1,0 +1,327 @@
+"""Sequential NumPy oracle of the reference stereo-stage semantics.
+
+Each function is a direct, *sequential* expression of the behavior
+documented in SURVEY.md / the stage docstrings (with `file:line` citations
+into /root/reference), used to property-test the vectorized TPU
+implementations.  Written for clarity, not speed: plain loops, one pixel
+at a time, mirroring the C++ control flow including in-place update order.
+
+Where the framework intentionally deviates from reference bugs (SE
+link-count aliasing `CStereoMatching.cpp:423`, the XL clamp typo
+`:938-939`, see constraints.py docstring), this oracle implements the
+*intended* semantics the framework targets.
+"""
+
+import numpy as np
+
+NOMATCH = -10000.0
+
+
+def window_vec(img, y, x, radius):
+    """Zero-mean window vector + norm (`CManageData.cpp:81-90`), zero
+    padding outside the image."""
+    H, W = img.shape[:2]
+    vals = []
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            yy, xx = y + dy, x + dx
+            if 0 <= yy < H and 0 <= xx < W:
+                v = img[yy, xx]
+            else:
+                v = np.zeros(img.shape[2]) if img.ndim == 3 else 0.0
+            vals.append(np.atleast_1d(v))
+    u = np.concatenate(vals).astype(np.float64)
+    u -= u.mean()
+    n = np.linalg.norm(u)
+    return u, (1.0 if n == 0 else n)
+
+
+def ncc(imgL, imgR, y, x, t, radius):
+    uL, nL = window_vec(imgL, y, x, radius)
+    uR, nR = window_vec(imgR, y, t, radius)
+    return float(uL @ uR / (nL * nR))
+
+
+def find_margin(valid, radius):
+    H, W = valid.shape
+    YL, YR = H - 1 - radius, radius
+    XL, XR = W - 1 - radius, radius
+    for y in range(radius, H - radius):
+        flag = False
+        for x in range(radius, W - radius):
+            if valid[y, x]:
+                XL, XR = min(XL, x), max(XR, x)
+                flag = True
+        if flag:
+            YL, YR = min(YL, y), max(YR, y)
+    return YL, YR, XL, XR
+
+
+def brute_match(imgL, imgR, validL, validR, mL, mR, radius):
+    """`LowestLevelInitialMatch` (`CStereoMatching.cpp:170-227`)."""
+    H, W = validL.shape
+    YL, YR, XL, XR = mL
+    _, _, XL1, XR1 = mR
+    disp = np.full((H, W), NOMATCH)
+    for y in range(YL, YR + 1):
+        for x in range(XL, XR + 1):
+            if not validL[y, x]:
+                continue
+            best, best_t = -1.0, -1
+            for t in range(XL1, XR1 + 1):
+                if not validR[y, t]:
+                    continue
+                v = ncc(imgL, imgR, y, x, t, radius)
+                if v > best:
+                    best, best_t = v, t
+            if best_t != -1:
+                disp[y, x] = best_t - x
+    return disp
+
+
+def guided_bounds(coarse, validL, mL, mR, offset, H, W):
+    """Search bounds of `HighLevelInitialMatch` (`CStereoMatching.cpp:
+    259-288`), returned per pixel for comparison."""
+    YL, YR, XL, XR = mL
+    _, _, XL1, XR1 = mR
+    Hc, Wc = coarse.shape
+    lo = np.zeros((H, W), np.int64)
+    hi = np.zeros((H, W), np.int64)
+    for y in range(YL, YR + 1):
+        cy = min((y + 1) // 2, Hc - 1)
+        bl, br = XL1, XR1
+        for x in range(XL, XR + 1):
+            cx = min((x + 1) // 2, Wc - 1)
+            s = coarse[cy, cx]
+            if s == NOMATCH:
+                for i in range(cx + 1, (XR >> 1) + 1):
+                    if i >= Wc:
+                        break
+                    if coarse[cy, i] != NOMATCH:
+                        br = min(i + int(coarse[cy, i] * 2) + offset + 1, XR1)
+                        break
+            else:
+                d2 = int(s * 2 + 0.5) if s * 2 + 0.5 >= 0 else -int(-(s * 2 + 0.5))
+                d2 = int(np.trunc(s * 2 + 0.5))
+                bl = max(x + d2 - offset, XL1)
+                br = min(x + d2 + offset, XR1)
+            lo[y, x], hi[y, x] = bl, br
+    return lo, hi
+
+
+def smoothness(disp, m):
+    """Intended symmetric semantics of `SmoothConstraint`
+    (`CStereoMatching.cpp:370-448`)."""
+    H, W = disp.shape
+    YL, YR, XL, XR = m
+    out = disp.copy()
+    for y in range(YL, YR + 1):
+        for x in range(XL, XR + 1):
+            links = viol = 0
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dy == 0 and dx == 0:
+                        continue
+                    yy, xx = y + dy, x + dx
+                    if not (0 <= yy < H and 0 <= xx < W):
+                        continue
+                    if disp[y, x] == NOMATCH or disp[yy, xx] == NOMATCH:
+                        continue
+                    links += 1
+                    if abs(disp[y, x] - disp[yy, xx]) > 1:
+                        viol += 1
+            if links == 0 or 2 * viol > links:
+                out[y, x] = NOMATCH
+    return out
+
+
+def ordering(disp, m):
+    """`OrderConstraint` greedy (`CStereoMatching.cpp:310-368`)."""
+    H, W = disp.shape
+    YL, YR, XL, XR = m
+    out = disp.copy()
+    for y in range(YL, YR + 1):
+        idxs = [x for x in range(XL, XR + 1) if out[y, x] != NOMATCH]
+        t = [out[y, x] + x for x in idxs]
+        n = len(idxs)
+        A = np.zeros((n, n), np.int64)
+        for i in range(n):
+            for j in range(i):
+                if t[j] > t[i]:
+                    A[i, j] = 1
+        A = A + A.T
+        cnt = A.sum(1)
+        while cnt.max(initial=0) > 0:
+            k = int(np.argmax(cnt))
+            out[y, idxs[k]] = NOMATCH
+            cnt = cnt - A[:, k]
+            cnt[k] = 0
+            A[k, :] = 0
+            A[:, k] = 0
+    return out
+
+
+def uniqueness_pass(p, q, m_src, m_tgt):
+    """One pass of `UniquenessContraint_` (`CStereoMatching.cpp:463-497`)
+    including the sequential in-place kill cascade."""
+    H, W = p.shape
+    YL, YR, XL, XR = m_src
+    _, _, XL1, XR1 = m_tgt
+    p = p.copy()
+    for y in range(YL, YR + 1):
+        for x in range(XL, XR + 1):
+            if p[y, x] == NOMATCH:
+                continue
+            bL = max(int(np.trunc(p[y, x] + 0.5)) + x - 1, XL1)
+            bR = min(bL + 2, XR1)
+            hit = False
+            for i in range(bL, bR + 1):
+                if abs(q[y, min(i, W - 1)] + p[y, x]) < 2:
+                    hit = True
+                    break
+            if not hit:
+                qm = q[y, min(bL + 1, W - 1)]
+                pw = p[y, x - 1] if x - 1 >= 0 else NOMATCH
+                pe = p[y, x + 1] if x + 1 < W else NOMATCH
+                if abs(qm + pw) >= 2 and abs(qm + pe) >= 2:
+                    p[y, x] = NOMATCH
+    return p
+
+
+def median6(disp, valid, m):
+    """`MedianFilter` with the reference's 2x3 window
+    (`CStereoMatching.cpp:763-815`)."""
+    H, W = disp.shape
+    YL, YR, XL, XR = m
+    out = np.full((H, W), NOMATCH)
+    for y in range(YL, YR + 1):
+        for x in range(XL, XR + 1):
+            if not valid[y, x]:
+                continue
+            vals = []
+            for xx in (x - 1, x):
+                for yy in (y - 1, y, y + 1):
+                    if 0 <= yy < H and 0 <= xx < W and disp[yy, xx] != NOMATCH:
+                        vals.append(disp[yy, xx])
+            k = len(vals)
+            vals.sort()
+            med = None
+            if k:
+                lo, hi = vals[(k - 1) // 2], vals[k // 2]
+                med = np.trunc((lo + hi) / 2.0)
+            if disp[y, x] == NOMATCH:
+                out[y, x] = med if k >= 4 else NOMATCH
+            else:
+                out[y, x] = NOMATCH if k <= 2 else med
+    return out
+
+
+def set_boundary_smooth(disp, mask, m_src, m_tgt, MD=2):
+    """`SetBoundary_smooth` (`CStereoMatching.cpp:817-942`), with the
+    intended clamp at the row's first pixel."""
+    H, W = disp.shape
+    YL, YR, XL, XR = m_src
+    _, _, XL1, XR1 = m_tgt
+    BL = np.full((H, W), -10000.0)
+    BR = np.full((H, W), 10000.0)
+    # down
+    for y in range(YL, YR):
+        for x in range(XL, XR + 1):
+            if not mask[y, x]:
+                continue
+            rv = disp[y, x]
+            if rv == NOMATCH:
+                BL[y + 1, x] = max(BL[y, x] - MD, BL[y + 1, x])
+                BR[y + 1, x] = min(BR[y, x] + MD, BR[y + 1, x])
+            else:
+                BL[y, x] = rv
+                BR[y, x] = rv
+                BL[y + 1, x] = max(rv - MD, BL[y + 1, x])
+                BR[y + 1, x] = min(rv + MD, BR[y + 1, x])
+    # up
+    for y in range(YR, YL, -1):
+        for x in range(XL, XR + 1):
+            if not mask[y, x]:
+                continue
+            rv = disp[y, x]
+            if rv == NOMATCH:
+                BL[y - 1, x] = max(BL[y, x] - MD, BL[y - 1, x])
+                BR[y - 1, x] = min(BR[y, x] + MD, BR[y - 1, x])
+            else:
+                BL[y, x] = rv
+                BR[y, x] = rv
+                BL[y - 1, x] = max(rv - MD, BL[y - 1, x])
+                BR[y - 1, x] = min(rv + MD, BR[y - 1, x])
+    # left -> right
+    for y in range(YL, YR + 1):
+        for x in range(XL, XR):
+            if mask[y, x]:
+                BL[y, x + 1] = max(BL[y, x] - 1, BL[y, x + 1])
+                BR[y, x + 1] = min(BR[y, x] + MD, BR[y, x + 1])
+        # right -> left with absolute conversion
+        for x in range(XR, XL, -1):
+            if mask[y, x]:
+                BL[y, x] += x
+                BR[y, x] += x
+                BL[y, x] = max(BL[y, x], XL1)
+                BR[y, x] = min(BR[y, x], XR1)
+                BL[y, x - 1] = max(BL[y, x] - x - MD, BL[y, x - 1])
+                BR[y, x - 1] = min(BR[y, x] - x + 1, BR[y, x - 1])
+        if mask[y, XL]:
+            BL[y, XL] += XL
+            BR[y, XL] += XL
+            BL[y, XL] = max(BL[y, XL], XL1)
+            BR[y, XL] = min(BR[y, XL], XR1)
+    return BL, BR
+
+
+def refine_iteration(disp, imgL, imgR, m, ws):
+    """One Jacobi sweep of `DisparityRefine` (`CStereoMatching.cpp:590-678`)."""
+    H, W = disp.shape
+    YL, YR, XL, XR = m
+    out = disp.copy()
+    for y in range(YL + 1, YR):
+        for x in range(XL + 1, XR):
+            dC = disp[y, x]
+            if dC == NOMATCH:
+                continue
+            dE, dW_ = disp[y, x + 1], disp[y, x - 1]
+            dN, dS = disp[y - 1, x], disp[y + 1, x]
+            mode = int(dE != NOMATCH and dW_ != NOMATCH) + 2 * int(
+                dS != NOMATCH and dN != NOMATCH)
+            pdp = pwp = 0.0
+            if mode != 0:
+                iM = int(np.trunc(dC - 1.5)) + x
+                xi = []
+                for i in range(3):
+                    # right window starts at column iM+i (NOT centered):
+                    # centered at iM+i+1
+                    xi.append((1 - ncc(imgL, imgR, y, x, iM + i + 1, 1)) / 2)
+                idx = 1 if xi[0] >= xi[1] else 0
+                if xi[idx] > xi[2]:
+                    idx = 2
+                if idx == 0:
+                    pwp, pdp = xi[1] - xi[0], dC - 0.5
+                elif idx == 2:
+                    pwp, pdp = xi[1] - xi[2], dC + 0.5
+                else:
+                    pwp = 0.5 * (xi[0] + xi[2]) - xi[1]
+                    denom = xi[0] + xi[2] - 2 * xi[1]
+                    pdp = dC + (0.5 * (xi[0] - xi[2]) / denom if denom != 0 else 0.0)
+                    if pwp == 0:
+                        pdp = 0.0
+            if mode == 0:
+                out[y, x] = dC
+            elif mode == 1:
+                out[y, x] = (pdp * pwp + ws * (dE + dW_) / 2) / (pwp + ws)
+            elif mode == 2:
+                out[y, x] = (pdp * pwp + ws * (dN + dS) / 2) / (pwp + ws)
+            else:
+                wx = np.exp(-(abs(dE - dC) - abs(dW_ - dC)) ** 2)
+                wy = np.exp(-(abs(dS - dC) - abs(dN - dC)) ** 2)
+                if wx + wy == 0:
+                    ds = (dE + dW_ + dS + dN) / 4
+                else:
+                    ds = (wx * (dE + dW_) + wy * (dN + dS)) / (2 * (wx + wy))
+                out[y, x] = (pdp * pwp + ws * ds) / (pwp + ws)
+    return out
