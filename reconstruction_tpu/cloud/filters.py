@@ -1,0 +1,99 @@
+"""Point-cloud outlier filters.
+
+Statistical outlier removal replaces PCL's
+`StatisticalOutlierRemoval(meanK=100, stddev=1)`
+(`CCloudOptimization.cpp:82-86`): per-point mean distance to its k nearest
+neighbors, then a global mu + thresh*sigma gate.  The kNN comes from the
+voxel-grid candidate gather (capped) rather than an exact KD-tree — an
+approximation that preserves the filter's statistics (validated against a
+brute-force oracle in tests).
+
+The optional radius-outlier-removal stage mirrors the reference's
+commented-out `RadiusOutlierRemoval` (`CCloudOptimization.cpp:90-96`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from reconstruction_tpu.cloud.neighbors import build_grid, gather_neighbors
+
+
+def _mean_spacing(points: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Estimated mean point spacing from the bounding box and count."""
+    big = jnp.float32(1e30)
+    pts = points.astype(jnp.float32)
+    mn = jnp.min(jnp.where(valid[:, None], pts, big), axis=0)
+    mx = jnp.max(jnp.where(valid[:, None], pts, -big), axis=0)
+    n = jnp.maximum(valid.sum(), 1)
+    ext = jnp.maximum(mx - mn, 1e-6)
+    # surface-ish cloud: points scale with area, not volume
+    area = jnp.sort(ext)[1] * jnp.sort(ext)[2]
+    return jnp.sqrt(area / n.astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("mean_k", "per_cell", "chunk"))
+def sor_filter(
+    points: jnp.ndarray,
+    valid: jnp.ndarray,
+    mean_k: int = 100,
+    std_thresh: float = 1.0,
+    per_cell: int = 32,
+    chunk: int = 4096,
+) -> jnp.ndarray:
+    """Returns the updated validity mask (outliers dropped)."""
+    spacing = _mean_spacing(points, valid)
+    # Cell sized so 27 cells usually hold >= mean_k candidates.
+    cell = spacing * jnp.sqrt(jnp.float32(mean_k)) * 0.6 + 1e-6
+    grid = build_grid(points, valid, cell)
+    nb = gather_neighbors(grid, points, valid, radius=cell,
+                          per_cell=per_cell, chunk=chunk, exclude_self=True)
+    K = nb.dist2.shape[1]
+    k = min(mean_k, K)
+    # k smallest distances among candidates
+    neg = -jnp.where(nb.ok, jnp.sqrt(nb.dist2), jnp.inf)
+    topk, _ = jax.lax.top_k(neg, k)
+    dists = -topk
+    found = jnp.isfinite(dists)
+    cnt = jnp.maximum(found.sum(-1), 1)
+    mean_d = jnp.where(found, dists, 0.0).sum(-1) / cnt
+    # Density-consistent correction for truncated neighborhoods: for a
+    # locally uniform surface sampling, mean-of-k-NN distance scales as
+    # sqrt(k), so points that found only m < k candidates in the search
+    # radius get their statistic extrapolated by sqrt(k/m).  Without this
+    # the per-point k varies and the global mu/sigma gate misfires.
+    mean_d = mean_d * jnp.sqrt(jnp.float32(k) / cnt.astype(jnp.float32))
+    has_nb = found.any(-1) & valid
+
+    # PCL's exact kNN always finds k neighbors, so isolated points feed
+    # their (large) distances into the global mu/sigma — which is what
+    # makes the +sigma gate lenient on the inlier tail.  Radius-bounded
+    # search loses that: impute a large statistic for zero-neighbor
+    # points so the gate behaves the same, and kill them regardless.
+    imputed = jnp.where(valid & ~has_nb, 10.0 * grid.cell, mean_d)
+    denom = jnp.maximum(valid.sum(), 1).astype(jnp.float32)
+    mu = jnp.where(valid, imputed, 0.0).sum() / denom
+    var = jnp.where(valid, (imputed - mu) ** 2, 0.0).sum() / denom
+    sigma = jnp.sqrt(var)
+    keep = valid & has_nb & (mean_d <= mu + std_thresh * sigma)
+    return keep
+
+
+@partial(jax.jit, static_argnames=("min_neighbors", "per_cell", "chunk"))
+def radius_outlier_filter(
+    points: jnp.ndarray,
+    valid: jnp.ndarray,
+    radius: float,
+    min_neighbors: int = 50,
+    per_cell: int = 16,
+    chunk: int = 4096,
+) -> jnp.ndarray:
+    """Drop points with fewer than min_neighbors within radius."""
+    grid = build_grid(points, valid, jnp.asarray(radius, jnp.float32))
+    nb = gather_neighbors(grid, points, valid, radius=radius,
+                          per_cell=per_cell, chunk=chunk, exclude_self=True)
+    return valid & (nb.ok.sum(-1) >= min_neighbors)

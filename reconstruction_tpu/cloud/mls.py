@@ -1,0 +1,61 @@
+"""Moving least squares smoothing.
+
+Replaces PCL `MovingLeastSquaresOMP(radius=2.5, polynomial order 1,
+computeNormals)` (`CCloudOptimization.cpp:350-364`): per point, a
+Gaussian-weighted local plane fit over the radius neighborhood; the point
+projects onto the plane, and the plane normal (re-oriented against the
+pre-MLS normals, `:369-386`) becomes the output normal.  Order-1
+polynomial fit == plane projection, so this matches the reference's
+configuration exactly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from reconstruction_tpu.cloud.neighbors import build_grid, gather_neighbors
+from reconstruction_tpu.cloud.normals import smallest_eigenvector_3x3
+
+
+@partial(jax.jit, static_argnames=("per_cell", "chunk"))
+def mls_smooth(
+    points: jnp.ndarray,
+    valid: jnp.ndarray,
+    radius: float,
+    prev_normals: jnp.ndarray,
+    per_cell: int = 8,
+    chunk: int = 4096,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (smoothed points, normals, valid).
+
+    Points with no neighbors in radius are dropped (PCL MLS likewise
+    produces no output sample for them).
+    """
+    r = jnp.asarray(radius, jnp.float32)
+    grid = build_grid(points, valid, r)
+    nb = gather_neighbors(grid, points, valid, radius=radius,
+                          per_cell=per_cell, chunk=chunk)
+    # Gaussian weights exp(-d^2 / r^2) (PCL default sqr_gauss_param = r^2).
+    w = jnp.where(nb.ok, jnp.exp(-nb.dist2 / (r * r)), 0.0)
+    wsum = jnp.maximum(w.sum(-1, keepdims=True), 1e-20)
+    npts = grid.points[nb.idx]
+    mean = (npts * w[..., None]).sum(-2) / wsum
+    d = (npts - mean[:, None, :]) * jnp.sqrt(w)[..., None]
+    cov = jnp.einsum("nki,nkj->nij", d, d) / wsum[..., None]
+    _, n = smallest_eigenvector_3x3(cov)
+
+    # Project each point onto its local plane.
+    delta = points - mean
+    dist = jnp.sum(delta * n, -1, keepdims=True)
+    proj = points - dist * n
+
+    # Re-orient vs pre-MLS normals (`CCloudOptimization.cpp:369-386`).
+    flip = jnp.sum(n * prev_normals, -1) < 0
+    n = jnp.where(flip[:, None], -n, n)
+
+    ok = valid & nb.ok.any(-1)
+    return jnp.where(ok[:, None], proj, points), n, ok

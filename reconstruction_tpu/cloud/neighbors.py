@@ -1,0 +1,135 @@
+"""Fixed-radius neighbor search on a voxel grid.
+
+The reference leans on PCL KD-trees (`CCloudOptimization.cpp:103`,
+`pcl::search::KdTree`) for SOR / normal estimation / MLS.  Pointer-chasing
+trees don't map to a dense-compute machine; the TPU-native equivalent is a
+sorted voxel grid with padded 27-cell candidate gathers (SURVEY.md
+section 7 hard part (c)):
+
+  1. quantize points to cells of size ``cell`` (>= search radius),
+  2. argsort by flattened cell id,
+  3. per query, binary-search the 27 adjacent cell ids and take up to
+     ``per_cell`` consecutive entries from each — fixed-capacity, masked.
+
+Everything is static-shape; queries stream through in chunks under
+`lax.map` to bound the (chunk, 27*per_cell) candidate buffers.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class VoxelGrid(NamedTuple):
+    points: jnp.ndarray      # (N, 3) original points
+    valid: jnp.ndarray       # (N,) bool
+    order: jnp.ndarray       # (N,) sort order (invalid last)
+    sorted_ids: jnp.ndarray  # (N,) flattened cell id per sorted point
+    origin: jnp.ndarray      # (3,) grid origin
+    dims: jnp.ndarray        # (3,) int32 grid dims
+    cell: jnp.ndarray        # scalar cell size
+
+
+_INVALID_ID = jnp.int32(2 ** 30)
+
+
+@jax.jit
+def build_grid(points: jnp.ndarray, valid: jnp.ndarray, cell: jnp.ndarray) -> VoxelGrid:
+    pts = points.astype(jnp.float32)
+    big = jnp.float32(1e30)
+    masked = jnp.where(valid[:, None], pts, big)
+    origin = jnp.min(jnp.where(valid[:, None], pts, big), axis=0)
+    origin = jnp.where(jnp.isfinite(origin) & (origin < 1e29), origin, 0.0)
+    maxc = jnp.max(jnp.where(valid[:, None], pts, -big), axis=0)
+    maxc = jnp.where(jnp.isfinite(maxc) & (maxc > -1e29), maxc, 0.0)
+    dims = jnp.maximum(((maxc - origin) / cell).astype(jnp.int32) + 2, 1)
+    ci = jnp.clip(((pts - origin) / cell).astype(jnp.int32), 0, dims - 1)
+    ids = (ci[:, 0] * dims[1] + ci[:, 1]) * dims[2] + ci[:, 2]
+    ids = jnp.where(valid, ids, _INVALID_ID)
+    order = jnp.argsort(ids)
+    return VoxelGrid(points=pts, valid=valid, order=order,
+                     sorted_ids=ids[order], origin=origin, dims=dims,
+                     cell=jnp.asarray(cell, jnp.float32))
+
+
+class NeighborSet(NamedTuple):
+    """Padded neighbor candidates for M query points."""
+
+    idx: jnp.ndarray    # (M, K) indices into the ORIGINAL point array
+    dist2: jnp.ndarray  # (M, K) squared distances (inf where invalid)
+    ok: jnp.ndarray     # (M, K) bool
+
+
+@partial(jax.jit, static_argnames=("per_cell", "chunk", "exclude_self"))
+def gather_neighbors(
+    grid: VoxelGrid,
+    queries: jnp.ndarray,
+    q_valid: jnp.ndarray,
+    radius: jnp.ndarray,
+    per_cell: int = 8,
+    chunk: int = 4096,
+    exclude_self: bool = False,
+) -> NeighborSet:
+    """Candidates within ``radius`` of each query (capped per cell).
+
+    Args:
+      queries: (M, 3).  q_valid: (M,).  radius: scalar <= grid.cell.
+      per_cell: max candidates taken per adjacent cell (27 cells).
+      exclude_self: drop candidates at distance exactly 0 with matching
+        index (for self-queries on the same cloud).
+    """
+    M = queries.shape[0]
+    K = 27 * per_cell
+    r2 = jnp.asarray(radius, jnp.float32) ** 2
+    N = grid.points.shape[0]
+
+    offs = jnp.stack(jnp.meshgrid(
+        jnp.arange(-1, 2), jnp.arange(-1, 2), jnp.arange(-1, 2),
+        indexing="ij"), axis=-1).reshape(27, 3)
+
+    nq = -(-M // chunk)
+    Mp = nq * chunk
+    qp = jnp.pad(queries.astype(jnp.float32), ((0, Mp - M), (0, 0)))
+    vp = jnp.pad(q_valid, (0, Mp - M))
+    qidx = jnp.pad(jnp.arange(M, dtype=jnp.int32), (0, Mp - M))
+
+    def chunk_fn(args):
+        q, qv, qi = args  # (chunk, 3), (chunk,), (chunk,)
+        ci = jnp.clip(((q - grid.origin) / grid.cell).astype(jnp.int32),
+                      0, grid.dims - 1)
+        # 27 adjacent cell ids; out-of-grid neighbors are dropped (NOT
+        # clamped — clamping would duplicate border cells and bias
+        # k-nearest statistics with repeated candidates).
+        nb = ci[:, None, :] + offs[None, :, :]
+        in_grid = ((nb >= 0) & (nb < grid.dims)).all(-1)
+        nbc = jnp.clip(nb, 0, grid.dims - 1)
+        nb_ids = (nbc[..., 0] * grid.dims[1] + nbc[..., 1]) * grid.dims[2] + nbc[..., 2]
+        nb_ids = jnp.where(in_grid, nb_ids, _INVALID_ID - 1)
+
+        start = jnp.searchsorted(grid.sorted_ids, nb_ids)          # (chunk, 27)
+        jj = jnp.arange(per_cell, dtype=jnp.int32)
+        cand_sorted = start[..., None] + jj                          # (chunk, 27, per_cell)
+        cand_sorted = jnp.clip(cand_sorted, 0, N - 1)
+        cand_ids = grid.sorted_ids[cand_sorted]
+        in_cell = cand_ids == nb_ids[..., None]
+        cand = grid.order[cand_sorted].reshape(q.shape[0], K)
+        in_cell = in_cell.reshape(q.shape[0], K)
+
+        cpts = grid.points[cand]                                    # (chunk, K, 3)
+        d2 = jnp.sum((cpts - q[:, None, :]) ** 2, axis=-1)
+        ok = in_cell & (d2 <= r2) & qv[:, None]
+        if exclude_self:
+            ok = ok & (cand != qi[:, None])
+        d2 = jnp.where(ok, d2, jnp.inf)
+        return cand, d2, ok
+
+    blocks = (qp.reshape(nq, chunk, 3), vp.reshape(nq, chunk),
+              qidx.reshape(nq, chunk))
+    idx, d2, ok = jax.lax.map(chunk_fn, blocks)
+    return NeighborSet(idx=idx.reshape(Mp, K)[:M],
+                       dist2=d2.reshape(Mp, K)[:M],
+                       ok=ok.reshape(Mp, K)[:M])

@@ -1,0 +1,151 @@
+"""Isosurface extraction by marching tetrahedra.
+
+Replaces the isosurface stage of PoissonRecon/meshlab (the reference gets
+its triangle meshes out of the external executables, `Demo/mesh.bat`,
+`Demo/meshlab.bat`).  Marching TETRAHEDRA rather than cubes: each cell
+splits into 6 tets around the 0-6 diagonal and every sign case reduces to
+a triangle or a quad — no 256-case tables, fully vectorizable, watertight
+on smooth fields.
+
+Runs host-side in vectorized NumPy over z-slabs (output size is
+data-dependent; extraction happens once per mesh and is not the hot path —
+the implicit-function solve is, and that runs on device).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+# Cube corner offsets, index = x + 2 y + 4 z bit pattern.
+_CORNERS = np.array([
+    [0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0],
+    [0, 0, 1], [1, 0, 1], [0, 1, 1], [1, 1, 1],
+], np.int64)
+
+# Six tetrahedra around the (0 -> 7) main diagonal; each row lists four
+# cube-corner indices.  Consistent orientation (all contain edge 0-7).
+_TETS = np.array([
+    [0, 1, 3, 7],
+    [0, 3, 2, 7],
+    [0, 2, 6, 7],
+    [0, 6, 4, 7],
+    [0, 4, 5, 7],
+    [0, 5, 1, 7],
+], np.int64)
+
+
+def _tet_triangles(p: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Triangles for a batch of tets.
+
+    Args:
+      p: (M, 4, 3) tet corner positions.
+      v: (M, 4) signed values (chi - iso).
+
+    Returns (T, 3, 3) triangle vertices.
+    """
+    inside = v < 0
+    code = (inside[:, 0].astype(np.int64) + 2 * inside[:, 1]
+            + 4 * inside[:, 2] + 8 * inside[:, 3])
+
+    def interp(ids_a, ids_b, sel):
+        a = p[sel][np.arange(sel.sum())[:, None], ids_a]
+        b = p[sel][np.arange(sel.sum())[:, None], ids_b]
+        va = v[sel][np.arange(sel.sum())[:, None], ids_a]
+        vb = v[sel][np.arange(sel.sum())[:, None], ids_b]
+        t = va / (va - vb + 1e-30)
+        return a + t[..., None] * (b - a)
+
+    tris = []
+    # one-inside cases: corner k inside -> triangle on its three edges
+    for k in range(4):
+        for flip in (False, True):
+            c = 1 << k if not flip else 15 ^ (1 << k)
+            sel = code == c
+            if not sel.any():
+                continue
+            others = [o for o in range(4) if o != k]
+            ia = np.array([[k, k, k]])
+            ib = np.array([others])
+            tri = interp(np.repeat(ia, sel.sum(), 0),
+                         np.repeat(ib, sel.sum(), 0), sel)
+            if flip:
+                tri = tri[:, ::-1]
+            tris.append(tri)
+    # two-inside cases -> quad = two triangles
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    for (a, b) in pairs:
+        c = (1 << a) | (1 << b)
+        sel = code == c
+        if not sel.any():
+            continue
+        others = [o for o in range(4) if o not in (a, b)]
+        o0, o1 = others
+        # quad vertices: (a,o0), (a,o1), (b,o1), (b,o0)
+        n = sel.sum()
+        ia = np.repeat(np.array([[a, a, b, b]]), n, 0)
+        ib = np.repeat(np.array([[o0, o1, o1, o0]]), n, 0)
+        q = interp(ia, ib, sel)  # (n, 4, 3)
+        tris.append(q[:, [0, 1, 2]])
+        tris.append(q[:, [0, 2, 3]])
+    if not tris:
+        return np.zeros((0, 3, 3), np.float64)
+    return np.concatenate(tris, axis=0)
+
+
+def marching_tetrahedra(
+    chi: np.ndarray,
+    iso: float,
+    origin: np.ndarray = np.zeros(3),
+    spacing: float = 1.0,
+    slab: int = 16,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Extract the iso-surface of a (Rx, Ry, Rz) grid.
+
+    Returns (vertices (V, 3) world coords, faces (F, 3) int32), with
+    vertices deduplicated.
+    """
+    chi = np.asarray(chi, np.float64)
+    Rx, Ry, Rz = chi.shape
+    all_tris = []
+    for z0 in range(0, Rz - 1, slab):
+        z1 = min(z0 + slab, Rz - 1)
+        gx, gy, gz = np.meshgrid(
+            np.arange(Rx - 1), np.arange(Ry - 1), np.arange(z0, z1),
+            indexing="ij")
+        base = np.stack([gx, gy, gz], -1).reshape(-1, 3)       # (M, 3)
+        corners = base[:, None, :] + _CORNERS[None]            # (M, 8, 3)
+        vals = chi[corners[..., 0], corners[..., 1], corners[..., 2]] - iso
+        # skip cells with no crossing
+        cross = (vals < 0).any(1) & (vals >= 0).any(1)
+        if not cross.any():
+            continue
+        corners = corners[cross]
+        vals = vals[cross]
+        pos = corners.astype(np.float64)
+        for tet in _TETS:
+            tp = pos[:, tet]     # (m, 4, 3)
+            tv = vals[:, tet]
+            tris = _tet_triangles(tp, tv)
+            if len(tris):
+                all_tris.append(tris)
+    if not all_tris:
+        return np.zeros((0, 3)), np.zeros((0, 3), np.int32)
+    tris = np.concatenate(all_tris, 0)                         # (T, 3, 3)
+
+    # Deduplicate vertices on a fine lattice.
+    flat = tris.reshape(-1, 3)
+    key = np.round(flat * 1024.0).astype(np.int64)
+    uniq, inv = np.unique(key, axis=0, return_inverse=True)
+    V = np.zeros((len(uniq), 3))
+    cnt = np.zeros(len(uniq))
+    np.add.at(V, inv, flat)
+    np.add.at(cnt, inv, 1.0)
+    V /= cnt[:, None]
+    F = inv.reshape(-1, 3).astype(np.int32)
+    # drop degenerate faces
+    ok = (F[:, 0] != F[:, 1]) & (F[:, 1] != F[:, 2]) & (F[:, 0] != F[:, 2])
+    F = F[ok]
+    verts = np.asarray(origin)[None, :] + V * spacing
+    return verts, F

@@ -1,0 +1,99 @@
+"""Multi-view vertex texturing.
+
+Replaces TextureStitcher.exe (`CCloudOptimization.cpp:396`) and the
+single-view recolor primitive `texture_color`
+(`CCloudOptimization.cpp:400-421`, `my_ply_interface.cpp`): every vertex
+projects into each camera (world -> scaled rectified pixels via the
+reference's `cam.P` convention, `CStereoMatching.cpp:145`), samples the
+rectified image bilinearly, and blends views weighted by mask validity
+and normal-to-view alignment.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def project_vertices(P: jnp.ndarray, verts: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """World -> pixel coords through a 3x4 projection.  Returns (uv, z)."""
+    vh = jnp.concatenate([verts, jnp.ones_like(verts[:, :1])], axis=1)
+    p = vh @ jnp.asarray(P, jnp.float32).T
+    z = p[:, 2]
+    uv = p[:, :2] / jnp.where(jnp.abs(z) > 1e-12, z, 1e-12)[:, None]
+    return uv, z
+
+
+def _bilinear(img: jnp.ndarray, uv: jnp.ndarray, fill: float = 127.0) -> jnp.ndarray:
+    H, W = img.shape[:2]
+    x, y = uv[:, 0], uv[:, 1]
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+
+    def tap(yi, xi):
+        ok = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        val = img[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
+        return jnp.where(ok[:, None], val, fill)
+
+    v = (tap(y0, x0) * (1 - fx) * (1 - fy) + tap(y0, x0 + 1) * fx * (1 - fy)
+         + tap(y0 + 1, x0) * (1 - fx) * fy + tap(y0 + 1, x0 + 1) * fx * fy)
+    return v
+
+
+def texture_single_view(
+    verts: np.ndarray,
+    P: np.ndarray,
+    image: np.ndarray,
+) -> np.ndarray:
+    """Single-view recolor (the reference's per-pair `color_<pair>_k.ply`
+    path, `CCloudOptimization.cpp:127-143`): nearest-pixel sample, gray
+    (127,127,127) outside (`:412-415`)."""
+    uv, z = project_vertices(jnp.asarray(P), jnp.asarray(verts, jnp.float32))
+    uvr = jnp.round(uv).astype(jnp.int32)
+    H, W = image.shape[:2]
+    ok = ((uvr[:, 0] >= 0) & (uvr[:, 0] < W)
+          & (uvr[:, 1] >= 0) & (uvr[:, 1] < H))
+    img = jnp.asarray(image, jnp.float32)
+    col = img[jnp.clip(uvr[:, 1], 0, H - 1), jnp.clip(uvr[:, 0], 0, W - 1)]
+    col = jnp.where(ok[:, None], col, 127.0)
+    return np.asarray(col)
+
+
+def texture_vertices(
+    verts: np.ndarray,
+    normals: np.ndarray,
+    cameras: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]],
+) -> np.ndarray:
+    """Blend vertex colors over views.
+
+    Args:
+      verts: (V, 3) world positions.
+      normals: (V, 3) vertex normals (for view weighting).
+      cameras: per view (P 3x4 world->pixel, image (H, W, 3), mask (H, W),
+        center (3,) world camera center).
+
+    Returns (V, 3) colors (BGR, 0..255).
+    """
+    verts_j = jnp.asarray(verts, jnp.float32)
+    normals_j = jnp.asarray(normals, jnp.float32)
+    acc = jnp.zeros((len(verts), 3), jnp.float32)
+    wacc = jnp.zeros((len(verts),), jnp.float32)
+    for P, image, mask, center in cameras:
+        uv, z = project_vertices(jnp.asarray(P), verts_j)
+        col = _bilinear(jnp.asarray(image, jnp.float32), uv)
+        mval = _bilinear(jnp.asarray(mask, jnp.float32)[..., None], uv, 0.0)[:, 0]
+        view_dir = jnp.asarray(center, jnp.float32)[None] - verts_j
+        view_dir = view_dir / jnp.maximum(
+            jnp.linalg.norm(view_dir, axis=1, keepdims=True), 1e-9)
+        facing = jnp.sum(normals_j * view_dir, axis=1)
+        w = jnp.maximum(facing, 0.0) * (mval > 200.0) * (z > 0)
+        acc = acc + col * w[:, None]
+        wacc = wacc + w
+    out = jnp.where(wacc[:, None] > 1e-6, acc / jnp.maximum(wacc, 1e-6)[:, None],
+                    127.0)
+    return np.asarray(out)
