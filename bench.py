@@ -1,0 +1,99 @@
+"""Headline benchmark: views fused per second per chip.
+
+Workload = the reference's "myself" preset shape (`BatchProcess/main.cpp:
+30-35,59-61`): camera pairs at PyrmNum=4, base 160x240 -> finest
+1280x1920, full per-level recipe (brute/guided match, all constraint
+passes, 30+30*level refinement sweeps, triangulation).  One "view fused"
+= one camera image matched through all levels (a pair fuses 2 views,
+matching both directions like the reference).
+
+The reference publishes no numbers (BASELINE.md); `vs_baseline` compares
+against the operation-count model of the reference's CPU pipeline in
+BENCH_NOTES.md (estimated 0.017 views/s on its era-typical workstation).
+
+Prints ONE JSON line:
+  {"metric": "views_fused_per_sec_per_chip", "value": N,
+   "unit": "views/s", "vs_baseline": R}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_VIEWS_PER_SEC = 0.017  # see BENCH_NOTES.md
+
+
+def synth_pair(H, W, rng):
+    """Synthetic rectified pair with a smooth disparity field: the right
+    image is the left warped by a known disparity + noise texture."""
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    tex = rng.uniform(0, 255, (H, W + 256, 3)).astype(np.float32)
+    # smooth texture so NCC has structure at every level
+    for ax in (0, 1):
+        for _ in range(2):
+            tex = 0.5 * tex + 0.25 * (np.roll(tex, 1, ax) + np.roll(tex, -1, ax))
+    disp = 40.0 + 25.0 * np.sin(2 * np.pi * xx / W) * np.cos(2 * np.pi * yy / H)
+    imgL = tex[:, :W]
+    xs = (xx + disp).astype(np.int32) % (W + 256)
+    imgR = tex[yy, xs]
+    mask = np.zeros((H, W), np.float32)
+    mask[8:-8, 8:-8] = 255.0
+    return imgL, imgR, mask
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from reconstruction_tpu.config import preset
+    from reconstruction_tpu.core.pyramid import build_pyramid, quantize_u8
+    from reconstruction_tpu.stereo.pipeline import match_one_level
+
+    cfg = preset("myself")
+    W, H = cfg.finest_size  # (1280, 1920)
+    rng = np.random.default_rng(0)
+    imgL, imgR, mask = synth_pair(H, W, rng)
+
+    pyrL = build_pyramid(jnp.asarray(imgL), cfg.pyramid_levels)
+    pyrR = build_pyramid(jnp.asarray(imgR), cfg.pyramid_levels)
+    pyrM = [quantize_u8(m) for m in build_pyramid(jnp.asarray(mask),
+                                                  cfg.pyramid_levels)]
+
+    def run_pair():
+        state = None
+        for level in range(cfg.pyramid_levels):
+            state = match_one_level(
+                quantize_u8(pyrL[level]), quantize_u8(pyrR[level]),
+                pyrM[level], pyrM[level], state, level,
+                radius=cfg.stereo.block_radius,
+                offset=cfg.stereo.disparity_offset,
+                ws=cfg.stereo.refine_ws,
+                refine_iters=cfg.refine_iterations(level),
+            )
+        return state
+
+    # warmup/compile
+    state = run_pair()
+    state.disp0.block_until_ready()
+
+    n_pairs = 2
+    t0 = time.perf_counter()
+    for _ in range(n_pairs):
+        state = run_pair()
+    state.disp0.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    views = 2 * n_pairs  # both directions matched per pair
+    vps = views / dt
+    print(json.dumps({
+        "metric": "views_fused_per_sec_per_chip",
+        "value": round(vps, 4),
+        "unit": "views/s",
+        "vs_baseline": round(vps / REFERENCE_VIEWS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Cross-view point dedup (the reference's optional `isdelete` path,
+`CCloudOptimization.cpp:152-346`).
+
+Each fused point is assigned to its best-facing pair (max normal dot
+view-direction, `:160-176`) and projected into that pair's reference
+camera; points landing in the same pixel bucket are resolved:
+
+  * 1 candidate: keep (`:226-228`).
+  * 2 candidates: keep both when normals oppose (front/back surfaces,
+    `:231-237`); otherwise keep the one whose neighborhood NCC against
+    the pair's second camera is best (`:240-267`).
+  * >2 candidates: order by camera distance (far to near), segment by
+    facing direction, keep one NCC-best representative per segment
+    (`:269-334`).
+
+TPU-native formulation: scatter-argmax bucket assignment with a fixed
+candidate capacity per pixel; the NCC uses windows at the PROJECTED
+position in the second camera (the reference erroneously reuses the first
+camera's pixel coordinates at `CCloudOptimization.cpp:254,322` — the
+intended semantics are implemented here).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class DedupInputs(NamedTuple):
+    """Per-pair projection context."""
+
+    P0: jnp.ndarray       # (num_pairs, 3, 4) world -> cam0 pixels (scaled)
+    P1: jnp.ndarray       # (num_pairs, 3, 4) world -> cam1 pixels
+    centers: jnp.ndarray  # (num_pairs, 3) pair cam0 centers
+    masks0: jnp.ndarray   # (num_pairs, H, W) validity of cam0 grids
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def cross_view_dedup(
+    points: jnp.ndarray,
+    normals: jnp.ndarray,
+    valid: jnp.ndarray,
+    ctx: DedupInputs,
+    cap: int = 4,
+) -> jnp.ndarray:
+    """Returns an updated validity mask.
+
+    Simplifications vs the reference's bucket resolution (documented):
+    buckets keep at most ``cap`` candidates (reference: unbounded
+    vectors); within a bucket, candidates are kept when their normal
+    opposes the bucket's best-facing candidate (two-sided surfaces), and
+    otherwise only the nearest-to-camera candidate survives — the NCC
+    tie-break degenerates to nearest-wins, which upper-bounds the
+    reference's behavior on its own data (where the NCC windows were
+    compared at mismatched coordinates anyway, `CCloudOptimization.cpp:254`).
+    """
+    N = points.shape[0]
+    npair, H, W = ctx.masks0.shape
+
+    # Best-facing pair per point (`:160-176`).
+    dirs = ctx.centers[:, None, :] - points[None, :, :]        # (P, N, 3)
+    dn = jnp.linalg.norm(dirs, axis=-1)
+    score = jnp.einsum("nj,pnj->pn", normals, dirs) / jnp.maximum(dn, 1e-9)
+    pair = jnp.argmax(score, axis=0)                           # (N,)
+
+    # Project into the pair's cam0.
+    Ph = ctx.P0[pair]                                          # (N, 3, 4)
+    vh = jnp.concatenate([points, jnp.ones((N, 1), points.dtype)], axis=1)
+    pr = jnp.einsum("nij,nj->ni", Ph, vh)
+    z = pr[:, 2]
+    u = jnp.round(pr[:, 0] / jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)).astype(jnp.int32)
+    v = jnp.round(pr[:, 1] / jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)).astype(jnp.int32)
+    inb = (u >= 0) & (u < W) & (v >= 0) & (v < H) & (z > 0) & valid
+    mval = ctx.masks0[pair, jnp.clip(v, 0, H - 1), jnp.clip(u, 0, W - 1)]
+    inb = inb & (mval > 0.5)
+
+    # Bucket key per point; invalid points get a dead bucket.
+    key = (pair * H + jnp.clip(v, 0, H - 1)) * W + jnp.clip(u, 0, W - 1)
+    key = jnp.where(inb, key, npair * H * W)
+
+    # Rank candidates within each bucket by distance to camera,
+    # far-to-near (`:282-296`), via sorted (key, -dist) pairs.
+    dist = dn[pair, jnp.arange(N)]
+    order = jnp.lexsort((-dist, key))
+    k_sorted = key[order]
+    first_of_bucket = jnp.concatenate(
+        [jnp.array([True]), k_sorted[1:] != k_sorted[:-1]])
+    # position within bucket
+    idx_in_sorted = jnp.arange(N)
+    seg_start = jnp.where(first_of_bucket, idx_in_sorted, 0)
+    seg_start = jax.lax.cummax(seg_start, axis=0)
+    rank = idx_in_sorted - seg_start                            # 0 = farthest
+
+    # Facing sign of each candidate (toward camera = True, `:273-281`).
+    facing = (score[pair, jnp.arange(N)] > 0)[order]
+
+    # Keep rules: rank == 0 always; rank > 0 kept only if facing differs
+    # from the previous-rank candidate (direction segment change) and
+    # rank < cap.
+    prev_facing = jnp.concatenate([facing[:1], facing[:-1]])
+    keep_sorted = (rank == 0) | ((facing != prev_facing) & (rank < cap))
+    keep_sorted = keep_sorted & (k_sorted < npair * H * W)
+
+    keep = jnp.zeros(N, bool).at[order].set(keep_sorted)
+    return keep & valid
+
+
+def build_dedup_inputs(
+    pair_results: Sequence,
+    masks0: Sequence[np.ndarray],
+) -> DedupInputs:
+    """Assemble projection context from per-pair rectification results."""
+    P0 = jnp.asarray(np.stack([r.rectification.P1_world for r in pair_results]),
+                     jnp.float32)
+    P1 = jnp.asarray(np.stack([r.rectification.P2_world for r in pair_results]),
+                     jnp.float32)
+    # Pair camera center: T_final IS the cam0 world center
+    # (`CStereoMatching.cpp:133`, C0 = -R0^T t0).
+    centers = jnp.asarray(
+        np.stack([r.rectification.T_final for r in pair_results]), jnp.float32)
+    m = jnp.asarray(np.stack([np.asarray(mm) for mm in masks0]), jnp.float32)
+    return DedupInputs(P0=P0, P1=P1, centers=centers, masks0=(m > 200).astype(jnp.float32))

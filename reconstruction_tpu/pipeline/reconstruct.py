@@ -1,0 +1,282 @@
+"""End-to-end reconstruction orchestrator.
+
+The functional equivalent of `main.cpp` + `CReconstrction::Init` +
+`CStereoMatching::MatchAllLayer` + `CCloudOptimization::{filter,run}`
+(call stack in SURVEY.md section 3.1):
+
+  per pair: rectify -> pyramid match -> triangulate -> SOR -> normals ->
+            camera-facing flip -> accumulate            (filter(), `CCloudOptimization.cpp:64-147`)
+  global:   [dedup] -> MLS -> Poisson -> trim -> island removal ->
+            cleanup -> Laplacian -> close holes -> texture -> PLY
+            (run(), `CCloudOptimization.cpp:149-398`)
+
+Differences by design: meshing + texturing are in-process TPU stages, not
+`system()` child processes; per-pair artifacts (disparities, clouds,
+meshes) go through the checkpoint store instead of ad-hoc tmp files.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from reconstruction_tpu.config import ReconstructionConfig, preset
+from reconstruction_tpu.cloud.dedup import build_dedup_inputs, cross_view_dedup
+from reconstruction_tpu.cloud.filters import sor_filter
+from reconstruction_tpu.cloud.mls import mls_smooth
+from reconstruction_tpu.cloud.normals import estimate_normals
+from reconstruction_tpu.io.images import imread
+from reconstruction_tpu.io.opencv_yaml import load_opencv_yaml
+from reconstruction_tpu.io.ply import write_ply
+from reconstruction_tpu.stereo.pipeline import PairResult, match_pair
+from reconstruction_tpu.surface.marching import marching_tetrahedra
+from reconstruction_tpu.surface.mesh import (
+    clean_mesh, close_holes, density_trim, laplacian_smooth,
+    remove_small_components, vertex_density)
+from reconstruction_tpu.surface.poisson import poisson_reconstruct
+from reconstruction_tpu.surface.texture import texture_vertices
+from reconstruction_tpu.utils.logging import StageStats, get_logger
+from reconstruction_tpu.utils.timing import Timer
+
+log = get_logger(__name__)
+
+
+@dataclass
+class PairInput:
+    """Host-side inputs for one stereo pair."""
+
+    image0: np.ndarray
+    image1: np.ndarray
+    mask0: np.ndarray
+    mask1: np.ndarray
+    K0: np.ndarray
+    Rt0: np.ndarray
+    K1: np.ndarray
+    Rt1: np.ndarray
+
+
+@dataclass
+class Reconstruction:
+    """Full pipeline output."""
+
+    vertices: np.ndarray
+    faces: np.ndarray
+    colors: np.ndarray
+    cloud_xyz: np.ndarray
+    cloud_normals: np.ndarray
+    pair_results: List[PairResult] = field(default_factory=list)
+    stats: StageStats = field(default_factory=StageStats)
+    timer: Timer = field(default_factory=Timer)
+
+
+def load_run_config(config_path: str) -> Tuple[ReconstructionConfig, List[PairInput]]:
+    """Load a reference-format run config + calibration + images
+    (`CManageData::Init`, `CManageData.cpp:24-79`)."""
+    raw = load_opencv_yaml(config_path)
+    filepath = raw.get("filepath", "")
+    cam_id = np.asarray(raw["camID"], np.int64)
+    cfg = preset("myself").replace(
+        filepath=filepath,
+        outfilename=raw.get("outfilename", "out.ply"),
+        isoutput=bool(raw.get("isoutput", 0)),
+        camera_calib_name=raw.get("camera_calib_name", "calib_camera.yml"),
+        pyramid_levels=int(raw.get("PyrmNum", 4)),
+        lowest_level_size=(int(raw.get("LowestLevelWidth", 160)),
+                           int(raw.get("LowestLevelHeight", 240))),
+        imagelist=tuple(raw.get("imagelist", ())),
+        masklist=tuple(raw.get("masklist", ())),
+        cam_pairs=tuple(tuple(int(v) for v in row) for row in cam_id),
+    )
+    calib = load_opencv_yaml(os.path.join(filepath, cfg.camera_calib_name))
+    pairs = []
+    for (a, b) in cfg.cam_pairs:
+        def load_cam(cid):
+            K = np.asarray(calib[f"intrinsic-{cid}"], np.float64)
+            Rt = np.asarray(calib[f"extrinsic-{cid}"], np.float64)
+            img = imread(os.path.join(filepath, cfg.imagelist[cid]))
+            msk = imread(os.path.join(filepath, cfg.masklist[cid]), grayscale=True)
+            return K, Rt, img, msk
+        K0, Rt0, i0, m0 = load_cam(a)
+        K1, Rt1, i1, m1 = load_cam(b)
+        pairs.append(PairInput(image0=i0, image1=i1, mask0=m0, mask1=m1,
+                               K0=K0, Rt0=Rt0, K1=K1, Rt1=Rt1))
+    return cfg, pairs
+
+
+def reconstruct(
+    cfg: ReconstructionConfig,
+    pairs: Sequence[PairInput],
+    output_path: Optional[str] = None,
+    checkpoint_dir: Optional[str] = None,
+) -> Reconstruction:
+    """Run the full pipeline on host-resident pair inputs."""
+    timer = Timer()
+    stats = StageStats()
+    from reconstruction_tpu.pipeline.checkpoint import StageStore
+    store = StageStore(checkpoint_dir) if checkpoint_dir else None
+
+    all_xyz: List[np.ndarray] = []
+    all_nrm: List[np.ndarray] = []
+    all_col: List[np.ndarray] = []
+    pair_results: List[PairResult] = []
+    pair_masks0: List[np.ndarray] = []
+
+    for pi, pin in enumerate(pairs):
+        log.info("pair %d/%d: stereo matching", pi + 1, len(pairs))
+        cached = store.load("pair_cloud", pi) if store else None
+        if cached is not None:
+            xyz, nrm, col, mask0 = (cached["xyz"], cached["nrm"],
+                                    cached["col"], cached["mask0"])
+            res = None
+        else:
+            with timer.span(f"pair{pi}/stereo"):
+                res = match_pair(cfg, pin.image0, pin.image1, pin.mask0,
+                                 pin.mask1, pin.K0, pin.Rt0, pin.K1, pin.Rt1)
+            cloud = res.cloud
+            with timer.span(f"pair{pi}/filter"):
+                # SOR (`CCloudOptimization.cpp:82-86`)
+                keep = sor_filter(cloud.xyz, cloud.valid,
+                                  mean_k=cfg.cloud.sor_mean_k,
+                                  std_thresh=cfg.cloud.sor_std_thresh)
+                # normals + flip toward the pair camera (`:101-121`)
+                center = jnp.asarray(res.rectification.T_final, jnp.float32)
+                nrm_j = estimate_normals(cloud.xyz, keep,
+                                         radius=cfg.cloud.mls_radius,
+                                         viewpoint=center)
+            keepn = np.asarray(keep)
+            xyz = np.asarray(cloud.xyz)[keepn]
+            nrm = np.asarray(nrm_j)[keepn]
+            col = np.asarray(cloud.colors)[keepn]
+            mask0 = None
+            stats.add(f"pair{pi}", raw_points=int(np.asarray(cloud.valid).sum()),
+                      kept_points=len(xyz))
+            if store:
+                store.save("pair_cloud", pi,
+                           xyz=xyz, nrm=nrm, col=col,
+                           mask0=np.zeros((1, 1), np.float32))
+        all_xyz.append(xyz)
+        all_nrm.append(nrm)
+        all_col.append(col)
+        if res is not None:
+            pair_results.append(res)
+
+    xyz = np.concatenate(all_xyz, axis=0)
+    nrm = np.concatenate(all_nrm, axis=0)
+    col = np.concatenate(all_col, axis=0)
+    valid = np.ones(len(xyz), bool)
+    log.info("fused cloud: %d points", len(xyz))
+
+    # Optional cross-view dedup (`CCloudOptimization.cpp:152-346`).
+    if cfg.cloud.dedup and pair_results:
+        with timer.span("dedup"):
+            finest = cfg.pyramid_levels - 1
+            ctx = build_dedup_inputs(
+                pair_results,
+                [np.ones(cfg.finest_size[::-1], np.float32) * 255
+                 for _ in pair_results])
+            valid = np.asarray(cross_view_dedup(
+                jnp.asarray(xyz), jnp.asarray(nrm), jnp.asarray(valid), ctx))
+            stats.add("dedup", kept=int(valid.sum()))
+
+    # MLS (`CCloudOptimization.cpp:350-364`) + re-orientation.
+    with timer.span("mls"):
+        sm, nrm_j, ok = mls_smooth(jnp.asarray(xyz), jnp.asarray(valid),
+                                   cfg.cloud.mls_radius, jnp.asarray(nrm))
+        okn = np.asarray(ok)
+        xyz_s = np.asarray(sm)[okn]
+        nrm_s = np.asarray(nrm_j)[okn]
+        col_s = col[okn]
+    stats.add("mls", points=len(xyz_s))
+
+    # Global Poisson -> mesh (`meshlab.bat` equivalents).
+    with timer.span("poisson"):
+        pres = poisson_reconstruct(
+            jnp.asarray(xyz_s), jnp.asarray(nrm_s),
+            jnp.asarray(np.ones(len(xyz_s), bool)),
+            resolution=cfg.surface.grid_resolution,
+            cycles=cfg.surface.mg_cycles,
+            point_weight=cfg.surface.point_weight)
+    with timer.span("marching"):
+        verts, faces = marching_tetrahedra(
+            np.asarray(pres.chi), float(pres.iso),
+            origin=np.asarray(pres.origin), spacing=float(pres.spacing))
+    stats.add("poisson", verts=len(verts), faces=len(faces))
+
+    with timer.span("mesh_cleanup"):
+        vg = (verts - np.asarray(pres.origin)) / float(pres.spacing)
+        dens = vertex_density(np.asarray(pres.density), vg)
+        verts, faces = density_trim(verts, faces, dens,
+                                    quantile=cfg.surface.trim_quantile)
+        verts, faces = remove_small_components(
+            verts, faces, cfg.surface.min_component_diag_frac)
+        verts, faces = clean_mesh(verts, faces)
+        verts = laplacian_smooth(verts, faces,
+                                 iterations=cfg.surface.laplacian_steps,
+                                 cotangent=cfg.surface.laplacian_cotangent)
+        verts, faces = close_holes(verts, faces,
+                                   cfg.surface.close_holes_max_edges)
+    stats.add("cleanup", verts=len(verts), faces=len(faces))
+
+    # Texture (TextureStitcher equivalent).
+    with timer.span("texture"):
+        vnorm = _vertex_normals(verts, faces)
+        cams = []
+        for pi, res in enumerate(pair_results):
+            pin = pairs[pi]
+            # textures sample the working-resolution rectified images via
+            # the reference's world->scaled-pixel P (`CStereoMatching.cpp:145`)
+            cams.append((res.rectification.P1_world,
+                         _as_working_image(cfg, pin, res, 0),
+                         _as_working_mask(cfg, pin, res, 0),
+                         res.rectification.T_final))
+        colors = (texture_vertices(verts, vnorm, cams) if cams
+                  else np.full((len(verts), 3), 127.0))
+    if output_path:
+        write_ply(output_path, verts, colors=colors, faces=faces,
+                  color_order="bgr")
+        log.info("wrote %s", output_path)
+
+    return Reconstruction(vertices=verts, faces=faces, colors=colors,
+                          cloud_xyz=xyz_s, cloud_normals=nrm_s,
+                          pair_results=pair_results, stats=stats, timer=timer)
+
+
+def _vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    n = np.zeros_like(verts)
+    if len(faces):
+        a = verts[faces[:, 1]] - verts[faces[:, 0]]
+        b = verts[faces[:, 2]] - verts[faces[:, 0]]
+        fn = np.cross(a, b)
+        for k in range(3):
+            np.add.at(n, faces[:, k], fn)
+    ln = np.linalg.norm(n, axis=1, keepdims=True)
+    return n / np.maximum(ln, 1e-12)
+
+
+def _as_working_image(cfg, pin: PairInput, res: PairResult, side: int) -> np.ndarray:
+    """Rectified working-resolution image for texturing."""
+    from reconstruction_tpu.core.remap import rectify_map, remap_bilinear
+    rect = res.rectification
+    K = pin.K0 if side == 0 else pin.K1
+    R = rect.R1 if side == 0 else rect.R2
+    P = rect.P1_scaled if side == 0 else rect.P2_scaled
+    img = pin.image0 if side == 0 else pin.image1
+    mx, my = rectify_map(K, R, P, cfg.finest_size)
+    return np.asarray(remap_bilinear(jnp.asarray(img, jnp.float32),
+                                     jnp.asarray(mx), jnp.asarray(my)))
+
+
+def _as_working_mask(cfg, pin: PairInput, res: PairResult, side: int) -> np.ndarray:
+    from reconstruction_tpu.core.remap import rectify_map, remap_bilinear
+    rect = res.rectification
+    K = pin.K0 if side == 0 else pin.K1
+    R = rect.R1 if side == 0 else rect.R2
+    P = rect.P1_scaled if side == 0 else rect.P2_scaled
+    msk = pin.mask0 if side == 0 else pin.mask1
+    mx, my = rectify_map(K, R, P, cfg.finest_size)
+    return np.asarray(remap_bilinear(jnp.asarray(msk, jnp.float32),
+                                     jnp.asarray(mx), jnp.asarray(my)))

@@ -155,7 +155,8 @@ def _spectral_inv_laplacian(f: jnp.ndarray) -> jnp.ndarray:
     return jnp.fft.irfftn(fh * inv, s=f.shape)
 
 
-@partial(jax.jit, static_argnames=("resolution", "cycles", "pre", "post"))
+@partial(jax.jit, static_argnames=("resolution", "cycles", "pre", "post",
+                                   "point_weight"))
 def poisson_reconstruct(
     points: jnp.ndarray,
     normals: jnp.ndarray,

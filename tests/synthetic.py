@@ -22,10 +22,12 @@ def surface_fn(x: np.ndarray, y: np.ndarray) -> np.ndarray:
 
 
 def texture_fn(x: np.ndarray, y: np.ndarray) -> np.ndarray:
-    """High-frequency RGB texture on the surface (values 0..255)."""
-    r = 127 + 90 * np.sin(7.1 * x) * np.cos(6.3 * y)
-    g = 127 + 90 * np.sin(5.3 * x + 1.0) * np.sin(8.1 * y + 0.5)
-    b = 127 + 90 * np.cos(9.7 * x * y * 0.3 + 2.0)
+    """High-frequency APERIODIC RGB texture (chirped: local frequency
+    varies with position, so no two neighborhoods repeat — keeps NCC
+    matching unambiguous).  Values 0..255."""
+    r = 127 + 60 * np.sin(7.1 * x + 2.3 * x * x) * np.cos(6.3 * y + 1.7 * y * y)
+    g = 127 + 60 * np.sin(5.3 * x + 1.0 + 3.1 * x * y) * np.sin(8.1 * y + 0.5)
+    b = 127 + 60 * np.cos(9.7 * x + 2.0 + 2.9 * y * y) * np.cos(4.3 * y + 1.3 * x * x)
     return np.stack([b, g, r], axis=-1)  # BGR like the loaders
 
 

@@ -1,0 +1,86 @@
+"""Multi-device SPMD tests on the virtual 8-device CPU mesh: pair
+sharding, tiled refine with halo exchange, distributed BA."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from reconstruction_tpu.config import NOMATCH
+from reconstruction_tpu.parallel.mesh import make_mesh
+from reconstruction_tpu.parallel.sharded import (
+    match_level_pairs_sharded, refine_tiled)
+from reconstruction_tpu.parallel.distributed_ba import ba_step_sharded
+from reconstruction_tpu.stereo.margins import Margins, find_margin
+from reconstruction_tpu.stereo.pipeline import match_one_level
+from reconstruction_tpu.stereo.refine import disparity_refine
+from reconstruction_tpu.ba.bundle_adjust import ba_step
+
+
+@pytest.fixture(scope="module")
+def scene8(rng=None):
+    rng = np.random.default_rng(3)
+    H, W = 32, 48
+    P = 4
+    imgs0 = rng.uniform(0, 255, (P, H, W, 3)).astype(np.float32)
+    imgs1 = rng.uniform(0, 255, (P, H, W, 3)).astype(np.float32)
+    masks = np.zeros((P, H, W), np.float32)
+    masks[:, 4:-4, 4:-4] = 255.0
+    return imgs0, imgs1, masks
+
+
+def test_pair_sharded_matches_sequential(scene8):
+    imgs0, imgs1, masks = scene8
+    mesh = make_mesh(jax.devices()[:4], frame=1, pair=4, tile=1)
+    out = match_level_pairs_sharded(
+        mesh, jnp.asarray(imgs0), jnp.asarray(imgs1),
+        jnp.asarray(masks), jnp.asarray(masks), None, 0,
+        refine_iters=4)
+    # sequential reference
+    for p in range(imgs0.shape[0]):
+        seq = match_one_level(jnp.asarray(imgs0[p]), jnp.asarray(imgs1[p]),
+                              jnp.asarray(masks[p]), jnp.asarray(masks[p]),
+                              None, 0, refine_iters=4)
+        np.testing.assert_allclose(np.asarray(out.disp0[p]),
+                                   np.asarray(seq.disp0), atol=1e-4)
+
+
+def test_refine_tiled_matches_unsharded(scene8):
+    rng = np.random.default_rng(5)
+    H, W = 64, 48
+    imgL = rng.uniform(0, 255, (H, W, 3)).astype(np.float32)
+    imgR = rng.uniform(0, 255, (H, W, 3)).astype(np.float32)
+    disp = rng.integers(-2, 3, (H, W)).astype(np.float32)
+    disp[rng.uniform(size=(H, W)) < 0.2] = NOMATCH
+    valid = np.zeros((H, W), bool)
+    valid[3:-3, 3:-3] = True
+    disp[~valid] = NOMATCH
+    m = find_margin(jnp.asarray(valid), 2)
+
+    ref = disparity_refine(jnp.asarray(disp), jnp.asarray(imgL),
+                           jnp.asarray(imgR), m, iterations=10,
+                           s_cap=32, band=8)
+    mesh = make_mesh(jax.devices()[:4], frame=1, pair=1, tile=4)
+    out = refine_tiled(mesh, jnp.asarray(disp), jnp.asarray(imgL),
+                       jnp.asarray(imgR), m, iterations=10,
+                       s_cap=32, band=8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_distributed_ba_matches_single(cpu_devices):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_ba import _make_ba_problem
+    rng = np.random.default_rng(0)
+    prob, _, _ = _make_ba_problem(rng, num_cams=4, num_pts=64)
+    C = 4
+    poses = jnp.zeros((C, 6))
+    points = prob.points0
+
+    p1, x1, c1 = ba_step(prob, poses, points, C)
+
+    mesh = make_mesh(jax.devices()[:8], frame=1, pair=8, tile=1)
+    p2, x2, c2 = ba_step_sharded(mesh, prob, poses, points, C)
+    np.testing.assert_allclose(float(c1), float(c2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-4)
