@@ -227,11 +227,15 @@ def preset(name: str) -> ReconstructionConfig:
         )
     if name == "tiny":
         # Small synthetic preset used by unit tests and the dry run.
+        # NOTE: cloud radii are WORLD units (the reference's 2.5 suits its
+        # mm-scale captures, `CReconstruction.cpp:18`); the synthetic test
+        # scene spans ~4 units, so radii scale down accordingly.
         return ReconstructionConfig(
             pyramid_levels=2,
             lowest_level_size=(64, 48),
             cam_pairs=((0, 1),),
-            cloud=CloudParams(sor_mean_k=8, max_points_per_pair=1 << 14),
+            cloud=CloudParams(sor_mean_k=30, mls_radius=0.08,
+                              max_points_per_pair=1 << 14),
             surface=SurfaceParams(grid_resolution=64, mg_cycles=4),
         )
     raise KeyError(f"unknown preset {name!r}; available: myself, ETH, tiny")

@@ -208,17 +208,45 @@ def write_ply(
     buf.write(b"end_header\n")
 
     if binary:
-        rec = np.dtype([(nm, "<" + arr.dtype.str[1:]) for nm, arr in cols])
-        table = np.empty(n, rec)
-        for nm, arr in cols:
-            table[nm] = arr
-        buf.write(table.tobytes())
+        packed = None
+        # Native fast path for the standard xyz[+nrm][+rgb] layout
+        # (reconstruction_tpu/native/src/ply_codec.cpp).
+        try:
+            from reconstruction_tpu import native
+            if native.available():
+                cref = None
+                if colors is not None:
+                    cref = np.clip(np.asarray(colors), 0, 255).astype(np.uint8)
+                packed = native.pack_vertices(
+                    xyz, nrm if normals is not None else None,
+                    cref, bgr=(color_order == "bgr"))
+        except Exception:
+            packed = None
+        if packed is not None:
+            buf.write(packed)
+        else:
+            rec = np.dtype([(nm, "<" + arr.dtype.str[1:]) for nm, arr in cols])
+            table = np.empty(n, rec)
+            for nm, arr in cols:
+                table[nm] = arr
+            buf.write(table.tobytes())
         if faces is not None:
             f = np.asarray(faces, np.int32)
-            frec = np.empty(len(f), np.dtype([("c", "u1"), ("v", "<i4", (3,))]))
-            frec["c"] = 3
-            frec["v"] = f
-            buf.write(frec.tobytes())
+            fp = None
+            try:
+                from reconstruction_tpu import native
+                if native.available():
+                    fp = native.pack_faces(f)
+            except Exception:
+                fp = None
+            if fp is not None:
+                buf.write(fp)
+            else:
+                frec = np.empty(len(f), np.dtype([("c", "u1"),
+                                                  ("v", "<i4", (3,))]))
+                frec["c"] = 3
+                frec["v"] = f
+                buf.write(frec.tobytes())
     else:
         for i in range(n):
             buf.write(" ".join(str(arr[i]) for _, arr in cols).encode() + b"\n")

@@ -1,0 +1,104 @@
+"""ctypes loader for the native host components.
+
+Build with `make -C reconstruction_tpu/native` (g++, OpenMP).  All callers
+fall back to pure-Python implementations when the library is missing, so
+the framework works unbuilt; the native paths take over transparently for
+the host-bound hot spots (isosurface extraction, PLY payload packing).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = os.path.join(os.path.dirname(__file__), "librecon_native.so")
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.mt_count.restype = ctypes.c_long
+        lib.mt_count.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.c_float]
+        lib.mt_extract.restype = ctypes.c_long
+        lib.mt_extract.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_long]
+        lib.ply_pack.restype = ctypes.c_long
+        lib.ply_pack.argtypes = [
+            ctypes.c_long, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
+        lib.ply_pack_faces.restype = None
+        lib.ply_pack_faces.argtypes = [
+            ctypes.c_long, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8)]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def marching_tets_native(chi: np.ndarray, iso: float) -> Optional[np.ndarray]:
+    """Triangle soup (T, 3, 3) in grid coords, or None if unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    chi = np.ascontiguousarray(chi, np.float32)
+    rx, ry, rz = chi.shape
+    ptr = chi.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    count = lib.mt_count(ptr, rx, ry, rz, ctypes.c_float(iso))
+    out = np.empty((count, 3, 3), np.float32)
+    lib.mt_extract(ptr, rx, ry, rz, ctypes.c_float(iso),
+                   out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), count)
+    return out
+
+
+def pack_vertices(xyz: np.ndarray, normals: Optional[np.ndarray],
+                  colors: Optional[np.ndarray], bgr: bool) -> Optional[bytes]:
+    lib = load()
+    if lib is None:
+        return None
+    xyz = np.ascontiguousarray(xyz, np.float32)
+    n = len(xyz)
+    rec = 12 + (12 if normals is not None else 0) + (3 if colors is not None else 0)
+    out = np.empty(n * rec, np.uint8)
+    nrm_p = (np.ascontiguousarray(normals, np.float32).ctypes
+             .data_as(ctypes.POINTER(ctypes.c_float))
+             if normals is not None else None)
+    rgb_p = (np.ascontiguousarray(colors, np.uint8).ctypes
+             .data_as(ctypes.POINTER(ctypes.c_uint8))
+             if colors is not None else None)
+    lib.ply_pack(n, xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                 nrm_p, rgb_p, int(bgr),
+                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out.tobytes()
+
+
+def pack_faces(faces: np.ndarray) -> Optional[bytes]:
+    lib = load()
+    if lib is None:
+        return None
+    faces = np.ascontiguousarray(faces, np.int32)
+    out = np.empty(len(faces) * 13, np.uint8)
+    lib.ply_pack_faces(len(faces),
+                       faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                       out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out.tobytes()

@@ -100,12 +100,22 @@ def marching_tetrahedra(
     origin: np.ndarray = np.zeros(3),
     spacing: float = 1.0,
     slab: int = 16,
+    use_native: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Extract the iso-surface of a (Rx, Ry, Rz) grid.
 
     Returns (vertices (V, 3) world coords, faces (F, 3) int32), with
-    vertices deduplicated.
+    vertices deduplicated.  Uses the OpenMP C++ extractor
+    (`native/src/marching_tets.cpp`) when built; the NumPy path below is
+    the behavioral reference.
     """
+    if use_native:
+        from reconstruction_tpu import native
+        soup = native.marching_tets_native(np.asarray(chi, np.float32),
+                                           float(iso))
+        if soup is not None:
+            return _dedup_triangles(soup.astype(np.float64), origin, spacing)
+
     chi = np.asarray(chi, np.float64)
     Rx, Ry, Rz = chi.shape
     all_tris = []
@@ -133,8 +143,12 @@ def marching_tetrahedra(
     if not all_tris:
         return np.zeros((0, 3)), np.zeros((0, 3), np.int32)
     tris = np.concatenate(all_tris, 0)                         # (T, 3, 3)
+    return _dedup_triangles(tris, origin, spacing)
 
-    # Deduplicate vertices on a fine lattice.
+
+def _dedup_triangles(tris: np.ndarray, origin: np.ndarray,
+                     spacing: float) -> Tuple[np.ndarray, np.ndarray]:
+    """Triangle soup -> deduplicated (verts, faces) on a fine lattice."""
     flat = tris.reshape(-1, 3)
     key = np.round(flat * 1024.0).astype(np.int64)
     uniq, inv = np.unique(key, axis=0, return_inverse=True)
