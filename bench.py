@@ -46,6 +46,11 @@ def synth_pair(H, W, rng):
 
 def main():
     import jax
+    # Persistent compilation cache: the 4-level pipeline compiles in
+    # minutes cold; cached reloads take seconds.
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from reconstruction_tpu.config import preset
     from reconstruction_tpu.core.pyramid import build_pyramid, quantize_u8
@@ -61,22 +66,39 @@ def main():
     pyrM = [quantize_u8(m) for m in build_pyramid(jnp.asarray(mask),
                                                   cfg.pyramid_levels)]
 
+    def one_level(state, level):
+        return match_one_level(
+            quantize_u8(pyrL[level]), quantize_u8(pyrR[level]),
+            pyrM[level], pyrM[level], state, level,
+            radius=cfg.stereo.block_radius,
+            offset=cfg.stereo.disparity_offset,
+            ws=cfg.stereo.refine_ws,
+            refine_iters=cfg.refine_iterations(level),
+        )
+
     def run_pair():
         state = None
         for level in range(cfg.pyramid_levels):
-            state = match_one_level(
-                quantize_u8(pyrL[level]), quantize_u8(pyrR[level]),
-                pyrM[level], pyrM[level], state, level,
-                radius=cfg.stereo.block_radius,
-                offset=cfg.stereo.disparity_offset,
-                ws=cfg.stereo.refine_ws,
-                refine_iters=cfg.refine_iterations(level),
-            )
+            state = one_level(state, level)
         return state
 
-    # warmup/compile
-    state = run_pair()
-    state.disp0.block_until_ready()
+    # warmup/compile with per-level diagnostics on stderr
+    import sys
+    state = None
+    for level in range(cfg.pyramid_levels):
+        t0 = time.perf_counter()
+        state = one_level(state, level)
+        state.disp0.block_until_ready()
+        print(f"[bench] level {level} compile+run: "
+              f"{time.perf_counter() - t0:.2f}s", file=sys.stderr, flush=True)
+    # second pass: pure run time per level
+    state = None
+    for level in range(cfg.pyramid_levels):
+        t0 = time.perf_counter()
+        state = one_level(state, level)
+        state.disp0.block_until_ready()
+        print(f"[bench] level {level} run: "
+              f"{time.perf_counter() - t0:.2f}s", file=sys.stderr, flush=True)
 
     n_pairs = 2
     t0 = time.perf_counter()

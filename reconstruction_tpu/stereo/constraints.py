@@ -75,16 +75,19 @@ def smoothness_constraint(disp: jnp.ndarray, m: Margins) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("row_chunk",))
 def ordering_constraint(disp: jnp.ndarray, m: Margins,
-                        row_chunk: int = 16) -> jnp.ndarray:
+                        row_chunk: int = 32) -> jnp.ndarray:
     """Greedy epipolar-order enforcement (`CStereoMatching.cpp:310-368`).
 
     Two matches (x_i -> t_i), (x_j -> t_j) on a scanline "cross" when their
     target order inverts their source order.  The reference repeatedly
     deletes the point with the most crossings until none remain; the
-    deletion ORDER matters, so the greedy loop is kept — but batched: each
-    scanline runs the loop under vmap (rows iterate until all are
-    crossing-free), and rows stream through in chunks to bound the O(W^2)
-    crossing-matrix memory.
+    deletion ORDER matters, so the greedy loop is kept — but with O(W)
+    state: the crossing MATRIX is never stored.  The initial per-point
+    crossing counts come from one chunked O(W^2) pass; each kill
+    recomputes only the killed point's crossing column on the fly from
+    the static predicate and the live mask (the reference instead
+    materializes and rewrites an O(W^2) arma matrix per row,
+    `CStereoMatching.cpp:337-362`).
     """
     H, W = disp.shape
     box = inner_box(m, H, W)
@@ -92,37 +95,46 @@ def ordering_constraint(disp: jnp.ndarray, m: Margins,
 
     xs = jnp.arange(W, dtype=jnp.float32)
 
-    def row_fn(d_row):
+    def row_init(d_row):
         valid = d_row != NOMATCH
         t = d_row + xs
-        # Crossing matrix over the full row; invalid pixels contribute none.
-        less = xs[:, None] > xs[None, :]          # j < i
-        tj_gt_ti = t[None, :] > t[:, None]        # t_j > t_i
-        cross = (less & tj_gt_ti) | (less.T & tj_gt_ti.T)
+        # crossing(i,j): (x_j<x_i & t_j>t_i) | (x_j>x_i & t_j<t_i)
+        less = xs[:, None] > xs[None, :]          # x_j < x_i  (j cols)
+        tj_gt_ti = t[None, :] > t[:, None]
+        cross = ((less & tj_gt_ti)
+                 | ((xs[None, :] > xs[:, None]) & (t[None, :] < t[:, None])))
         cross = cross & valid[:, None] & valid[None, :]
-        cnt = cross.sum(axis=1).astype(jnp.int32)
+        return cross.sum(axis=1).astype(jnp.int32)
+
+    def row_fn(d_row, cnt):
+        valid0 = d_row != NOMATCH
+        t = d_row + xs
 
         def cond(state):
             _, _, cnt = state
             return cnt.max() > 0
 
         def body(state):
-            d_row, cross, cnt = state
+            d_row, alive, cnt = state
             k = jnp.argmax(cnt)
+            xk = xs[k]
+            tk = t[k]
+            col = (((xs < xk) & (t > tk)) | ((xs > xk) & (t < tk))) & alive
             d_row = d_row.at[k].set(jnp.float32(NOMATCH))
-            cnt = cnt - cross[:, k].astype(jnp.int32)
+            alive = alive.at[k].set(False)
+            cnt = cnt - col.astype(jnp.int32)
             cnt = cnt.at[k].set(0)
-            cross = cross.at[k, :].set(False)
-            cross = cross.at[:, k].set(False)
-            return d_row, cross, cnt
+            return d_row, alive, cnt
 
-        d_out, _, _ = jax.lax.while_loop(cond, body, (d_row, cross, cnt))
+        d_out, _, _ = jax.lax.while_loop(cond, body, (d_row, valid0, cnt))
         return d_out
 
     pad_rows = (-H) % row_chunk
     dp = jnp.pad(dm, ((0, pad_rows), (0, 0)), constant_values=float(NOMATCH))
     chunks = dp.reshape(-1, row_chunk, W)
-    out = jax.lax.map(jax.vmap(row_fn), chunks).reshape(-1, W)[:H]
+    cnt0 = jax.lax.map(jax.vmap(row_init), chunks)
+    out = jax.vmap(row_fn)(chunks.reshape(-1, W), cnt0.reshape(-1, W))
+    out = out.reshape(-1, W)[:H]
     return jnp.where(box, out, disp)
 
 

@@ -80,6 +80,16 @@ def _shift_x(a: jnp.ndarray, s: jnp.ndarray, W: int, fill: float = 0.0) -> jnp.n
     return jax.lax.dynamic_slice(ap, start, a.shape)
 
 
+def _shift_x_pre(ap: jnp.ndarray, s: jnp.ndarray, W: int,
+                 out_w: int) -> jnp.ndarray:
+    """dynamic_slice form of _shift_x for a PRE-PADDED array (padding
+    hoisted out of sweep loops so no per-iteration copies)."""
+    start = [0] * (ap.ndim - 1) + [W + s]
+    shape = list(ap.shape)
+    shape[-1] = out_w
+    return jax.lax.dynamic_slice(ap, start, shape)
+
+
 class SweepResult(NamedTuple):
     disparity: jnp.ndarray  # (H, W) f32, NOMATCH where unmatched
     score: jnp.ndarray      # (H, W) best NCC (-2 where none)
@@ -134,17 +144,24 @@ def ncc_sweep_match(
     imgLf = imgL if imgL.ndim == 3 else imgL[..., None]
     imgRf = imgR if imgR.ndim == 3 else imgR[..., None]
 
+    # Pre-pad all shifted operands ONCE (loop bodies must not re-pad:
+    # that would copy (H, 3W, C) buffers every iteration).
+    imgR_pad = jnp.pad(imgRf.transpose(2, 0, 1), ((0, 0), (0, 0), (W, W)))
+    muR_pad = jnp.pad(momR.mean, ((0, 0), (W, W)))
+    invR_pad = jnp.pad(momR.inv_norm, ((0, 0), (W, W)), constant_values=1.0)
+    validR_pad = jnp.pad(validR_f, ((0, 0), (W, W)))
+
     def body(s, state):
         best_score, best_t = state
-        Rs = _shift_x(imgRf.transpose(2, 0, 1), s, W).transpose(1, 2, 0)
+        Rs = _shift_x_pre(imgR_pad, s, W, W).transpose(1, 2, 0)
         cross = _box_sum((imgLf * Rs).sum(-1), radius)
-        muR_s = _shift_x(momR.mean, s, W)
-        invR_s = _shift_x(momR.inv_norm, s, W, fill=1.0)
+        muR_s = _shift_x_pre(muR_pad, s, W, W)
+        invR_s = _shift_x_pre(invR_pad, s, W, W)
         score = (cross - n * momL.mean * muR_s) * momL.inv_norm * invR_s
         t = x + s
         ok = (
             active
-            & (_shift_x(validR_f, s, W) > 0.5)
+            & (_shift_x_pre(validR_pad, s, W, W) > 0.5)
             & (t >= bound_lo)
             & (t <= bound_hi)
         )

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from reconstruction_tpu.config import NOMATCH
 from reconstruction_tpu.stereo.margins import Margins, inner_box
-from reconstruction_tpu.stereo.matching import ncc_moments, _shift_x
+from reconstruction_tpu.stereo.matching import ncc_moments, _shift_x, _shift_x_pre
 from reconstruction_tpu.stereo.ncc import shifted
 
 
@@ -87,14 +87,19 @@ def _banded_cost_volume(
         momL = ncc_moments(bL, 1)
         momR = ncc_moments(bR, 1)
         n = momL.n
+        # pad shifted operands once (not per loop iteration)
+        bR_pad = jnp.pad(bR.transpose(2, 0, 1), ((0, 0), (0, 0), (W, W)))
+        muR_pad = jnp.pad(momR.mean, ((0, 0), (W, W)))
+        invR_pad = jnp.pad(momR.inv_norm, ((0, 0), (W, W)),
+                           constant_values=1.0)
 
         def body(s, cv):
-            Rs = _shift_x(bR.transpose(2, 0, 1), s, W).transpose(1, 2, 0)
+            Rs = _shift_x_pre(bR_pad, s, W, W).transpose(1, 2, 0)
             cross = (bL * Rs).sum(-1)
             bx = cross + shifted(cross, 0, 1) + shifted(cross, 0, -1)
             cross = bx + shifted(bx, 1, 0) + shifted(bx, -1, 0)
-            muR_s = _shift_x(momR.mean, s, W)
-            invR_s = _shift_x(momR.inv_norm, s, W, fill=1.0)
+            muR_s = _shift_x_pre(muR_pad, s, W, W)
+            invR_s = _shift_x_pre(invR_pad, s, W, W)
             ncc = (cross - n * momL.mean * muR_s) * momL.inv_norm * invR_s
             xi = (1.0 - ncc) * 0.5
             xi = xi[1 : band + 1]  # strip halo rows

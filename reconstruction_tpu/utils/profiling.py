@@ -1,0 +1,95 @@
+"""Device profiling + roofline accounting.
+
+The reference's only instrumentation is wall-clock printfs
+(`reconstruction/main.cpp:7,18,22`).  BASELINE.md asks for kernel-level
+GFLOP/s and HBM-bandwidth roofline reporting; this module provides:
+
+  * `trace(path)`: context manager around `jax.profiler` for device
+    traces viewable in TensorBoard/XProf.
+  * `Roofline`: analytic FLOP/byte counters for the framework's hot
+    kernels + measured-time utilization reports against per-chip peaks.
+"""
+
+from __future__ import annotations
+
+import contextlib
+from dataclasses import dataclass
+from typing import Dict, Iterator, Optional
+
+import jax
+
+# Per-chip peaks (bf16/f32 MXU FLOPs, HBM bytes/s).  v5e defaults; other
+# chips can be passed explicitly.
+CHIP_PEAKS = {
+    "v5e": {"flops_f32": 98e12 / 2, "flops_bf16": 197e12, "hbm_gbps": 819e9},
+    "v4": {"flops_f32": 137.5e12, "flops_bf16": 275e12, "hbm_gbps": 1200e9},
+}
+
+
+@contextlib.contextmanager
+def trace(path: str) -> Iterator[None]:
+    jax.profiler.start_trace(path)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@dataclass
+class KernelCost:
+    flops: float
+    hbm_bytes: float
+
+    def utilization(self, seconds: float, chip: str = "v5e") -> Dict[str, float]:
+        peaks = CHIP_PEAKS[chip]
+        return {
+            "gflops_per_s": self.flops / seconds / 1e9,
+            "flops_util": self.flops / seconds / peaks["flops_f32"],
+            "hbm_gbps": self.hbm_bytes / seconds / 1e9,
+            "hbm_util": self.hbm_bytes / seconds / peaks["hbm_gbps"],
+            "bound": ("hbm" if self.hbm_bytes / peaks["hbm_gbps"]
+                      > self.flops / peaks["flops_f32"] else "flops"),
+        }
+
+
+def ncc_sweep_cost(H: int, W: int, C: int, radius: int,
+                   num_shifts: int) -> KernelCost:
+    """Cost of the uniform-shift NCC sweep (stereo/matching.py).
+
+    Per shift: C mults + C-1 adds for the channel product, 4r separable
+    box adds, ~8 elementwise score/compare ops per pixel; traffic is the
+    working-set streams (imgs + moment maps + state) once per shift.
+    """
+    per_px = (2 * C - 1) + 4 * radius + 10
+    flops = float(H * W * per_px * num_shifts)
+    per_shift_bytes = H * W * 4.0 * (2 * C + 5)
+    return KernelCost(flops=flops, hbm_bytes=per_shift_bytes * num_shifts)
+
+
+def refine_cost(H: int, W: int, iterations: int, s_cap: int,
+                build_shifts: int) -> KernelCost:
+    """Cost of the banded-cost-volume refinement (stereo/refine.py)."""
+    build = ncc_sweep_cost(H, W, 3, 1, build_shifts)
+    per_iter_flops = H * W * 60.0
+    per_iter_bytes = H * W * 4.0 * 8
+    return KernelCost(
+        flops=build.flops + per_iter_flops * iterations,
+        hbm_bytes=build.hbm_bytes + per_iter_bytes * iterations,
+    )
+
+
+def poisson_cost(resolution: int) -> KernelCost:
+    """Spectral Poisson solve: rfftn + irfftn + eigenvalue scaling."""
+    n = resolution ** 3
+    import math
+    fft_flops = 2 * 5.0 * n * math.log2(max(n, 2))
+    return KernelCost(flops=fft_flops + 10 * n, hbm_bytes=8.0 * n * 6)
+
+
+def schur_cost(num_points: int, obs_per_point: int, num_cameras: int) -> KernelCost:
+    """BA Schur assembly + reduction (ba/bundle_adjust.py)."""
+    m, o, c = num_points, obs_per_point, num_cameras
+    per_obs = 2 * 6 * 3 * 4 + 500  # jacobian products + autodiff overhead
+    red = m * (c * 6 * 3 * 3 + c * c * 36 * 3)
+    return KernelCost(flops=float(m * o * per_obs + red),
+                      hbm_bytes=float(m * o * 100 * 4))
