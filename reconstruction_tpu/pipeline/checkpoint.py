@@ -27,7 +27,9 @@ class StageStore:
         return os.path.join(self.root, f"{stage}_{index}.npz")
 
     def save(self, stage: str, index: Any, **arrays: np.ndarray) -> None:
-        tmp = self._path(stage, index) + ".tmp"
+        # np.savez appends .npz when missing; keep the suffix on the temp
+        # name so the atomic rename finds it.
+        tmp = self._path(stage, index) + ".tmp.npz"
         np.savez_compressed(tmp, **arrays)
         os.replace(tmp, self._path(stage, index))
 
