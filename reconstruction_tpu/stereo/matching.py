@@ -95,7 +95,7 @@ class SweepResult(NamedTuple):
     score: jnp.ndarray      # (H, W) best NCC (-2 where none)
 
 
-@partial(jax.jit, static_argnames=("radius",))
+@partial(jax.jit, static_argnames=("radius", "band"))
 def ncc_sweep_match(
     imgL: jnp.ndarray,
     imgR: jnp.ndarray,
@@ -104,6 +104,7 @@ def ncc_sweep_match(
     bound_lo: jnp.ndarray,
     bound_hi: jnp.ndarray,
     radius: int,
+    band: int = 0,
 ) -> SweepResult:
     """Argmax-NCC match of active left pixels against target columns in
     [bound_lo, bound_hi] (absolute, inclusive, per pixel).
@@ -115,12 +116,21 @@ def ncc_sweep_match(
       active: (H, W) bool, which left pixels to match.
       bound_lo, bound_hi: (H, W) int32 absolute target-column bounds.
       radius: NCC window radius.
+      band: if > 0, rows are processed in bands of this size, each band
+        sweeping only ITS OWN shift range.  One pathological wide-bounds
+        pixel then costs O(range x band x W) instead of O(range x H x W)
+        — essential at fine pyramid levels where hole pixels can carry
+        near-full-row search intervals (`HighLevelInitialMatch`'s
+        fallthrough bounds, `CStereoMatching.cpp:259-288`).
 
     Returns disparity d = t - x (reference convention) and the best score.
     A pixel matches only if some candidate scores > -1
     (`CStereoMatching.cpp:206,219`).
     """
     H, W = imgL.shape[:2]
+    if band and band < H:
+        return _ncc_sweep_match_banded(imgL, imgR, validR, active,
+                                       bound_lo, bound_hi, radius, band)
     # Center values for f32 conditioning: zero-mean NCC is invariant to a
     # global constant offset, but the box-sum moment terms are not — keeping
     # raw magnitudes small preserves ~2 extra bits in the cancellation
@@ -174,6 +184,92 @@ def ncc_sweep_match(
     best_score, best_t = jax.lax.fori_loop(s_min, s_max + 1, body, init)
     matched = best_t >= 0
     disp = jnp.where(matched, (best_t - x).astype(jnp.float32), float(NOMATCH))
+    return SweepResult(disparity=disp, score=best_score)
+
+
+def _ncc_sweep_match_banded(
+    imgL: jnp.ndarray,
+    imgR: jnp.ndarray,
+    validR: jnp.ndarray,
+    active: jnp.ndarray,
+    bound_lo: jnp.ndarray,
+    bound_hi: jnp.ndarray,
+    radius: int,
+    band: int,
+) -> SweepResult:
+    """Row-banded sweep: each band of rows runs its own shift range."""
+    H, W = imgL.shape[:2]
+    if imgL.ndim == 2:
+        imgL, imgR = imgL[..., None], imgR[..., None]
+    C = imgL.shape[-1]
+    imgL = imgL.astype(jnp.float32) - 128.0
+    imgR = imgR.astype(jnp.float32) - 128.0
+
+    nb = -(-H // band)
+    Hp = nb * band
+    halo = radius
+
+    def banded(a, fill=0.0):
+        """(H, W[, C]) -> (nb, band+2*halo, W[, C]) with halo rows."""
+        pads = [(halo, Hp - H + halo)] + [(0, 0)] * (a.ndim - 1)
+        ap = jnp.pad(a, pads, constant_values=fill)
+        rows = (jnp.arange(nb) * band)[:, None] + jnp.arange(band + 2 * halo)[None, :]
+        return ap[rows]
+
+    bL = banded(imgL)
+    bR = banded(imgR)
+    bvR = banded(validR.astype(jnp.float32))
+    bact = banded(active)[:, halo: halo + band]
+    blo = banded(bound_lo)[:, halo: halo + band]
+    bhi = banded(bound_hi)[:, halo: halo + band]
+
+    x = jnp.arange(W, dtype=jnp.int32)[None, :]
+
+    def band_fn(args):
+        iL, iR, vR, act, lo, hi = args
+        Hb = iL.shape[0]
+        momL = ncc_moments(iL, radius)
+        momR = ncc_moments(iR, radius)
+        n = momL.n
+        iR_pad = jnp.pad(iR.transpose(2, 0, 1), ((0, 0), (0, 0), (W, W)))
+        muR_pad = jnp.pad(momR.mean, ((0, 0), (W, W)))
+        invR_pad = jnp.pad(momR.inv_norm, ((0, 0), (W, W)),
+                           constant_values=1.0)
+        vR_pad = jnp.pad(vR, ((0, 0), (W, W)))
+
+        s_lo_px = jnp.where(act, lo - x, jnp.int32(1 << 20))
+        s_hi_px = jnp.where(act, hi - x, jnp.int32(-(1 << 20)))
+        any_act = act.any()
+        s_min = jnp.clip(jnp.where(any_act, s_lo_px.min(), 0), -(W - 1), W - 1)
+        s_max = jnp.clip(jnp.where(any_act, s_hi_px.max(), -1), -(W - 1), W - 1)
+
+        def body(s, state):
+            best_score, best_t = state
+            Rs = _shift_x_pre(iR_pad, s, W, W).transpose(1, 2, 0)
+            cross = _box_sum((iL * Rs).sum(-1), radius)
+            muR_s = _shift_x_pre(muR_pad, s, W, W)
+            invR_s = _shift_x_pre(invR_pad, s, W, W)
+            score = (cross - n * momL.mean * muR_s) * momL.inv_norm * invR_s
+            score = score[halo: halo + band]
+            vs = _shift_x_pre(vR_pad, s, W, W)[halo: halo + band]
+            t = x + s
+            ok = act & (vs > 0.5) & (t >= lo) & (t <= hi)
+            score = jnp.where(ok, score, -2.0)
+            upd = score > best_score
+            return (jnp.where(upd, score, best_score),
+                    jnp.where(upd, t, best_t))
+
+        init = (jnp.full((band, W), -1.0, jnp.float32),
+                jnp.full((band, W), -1, jnp.int32))
+        return jax.lax.fori_loop(s_min, s_max + 1, body, init)
+
+    score_b, t_b = jax.lax.map(band_fn, (bL, bR, bvR, bact, blo, bhi))
+    best_score = score_b.reshape(Hp, W)[:H]
+    best_t = t_b.reshape(Hp, W)[:H]
+    matched = best_t >= 0
+    x2 = jnp.arange(W, dtype=jnp.int32)[None, :]
+    disp = jnp.where(matched, (best_t - x2).astype(jnp.float32),
+                     float(NOMATCH))
     return SweepResult(disparity=disp, score=best_score)
 
 
@@ -301,7 +397,9 @@ def guided_match(
     lo, hi = guided_search_bounds(coarse_disp, mL, mR, H, W, offset)
     active = (validL & (y >= mL.YL) & (y <= mL.YR)
               & (x >= mL.XL) & (x <= mL.XR))
-    return ncc_sweep_match(imgL, imgR, validR, active, lo, hi, radius).disparity
+    band = 64 if H >= 256 else 0
+    return ncc_sweep_match(imgL, imgR, validR, active, lo, hi, radius,
+                           band=band).disparity
 
 
 def rematch(
@@ -324,7 +422,8 @@ def rematch(
     active = (validL & (disparity == NOMATCH)
               & (y >= mL.YL) & (y <= mL.YR)
               & (x >= mL.XL) & (x <= mL.XR))
+    band = 64 if H >= 256 else 0
     res = ncc_sweep_match(imgL, imgR, validR, active,
                           bound_lo.astype(jnp.int32),
-                          bound_hi.astype(jnp.int32), radius)
+                          bound_hi.astype(jnp.int32), radius, band=band)
     return jnp.where(active, res.disparity, disparity)

@@ -192,3 +192,22 @@ def test_refine_converges_on_smooth_scene(rng):
     assert np.array_equal(out == NOMATCH, ~valid)
     assert np.isfinite(out[valid]).all()
     assert np.abs(out[valid]).max() < 40
+
+
+def test_banded_sweep_matches_unbanded(rng):
+    H, W = 96, 40
+    imgL = rng.uniform(0, 255, (H, W, 3)).astype(np.float32)
+    imgR = rng.uniform(0, 255, (H, W, 3)).astype(np.float32)
+    vR = np.ones((H, W), bool)
+    act = np.zeros((H, W), bool)
+    act[4:-4, 4:-4] = True
+    lo = rng.integers(0, W // 2, (H, W)).astype(np.int32)
+    hi = lo + rng.integers(0, 8, (H, W)).astype(np.int32)
+    a = ncc_sweep_match(jnp.asarray(imgL), jnp.asarray(imgR), jnp.asarray(vR),
+                        jnp.asarray(act), jnp.asarray(lo), jnp.asarray(hi),
+                        2, band=0)
+    b = ncc_sweep_match(jnp.asarray(imgL), jnp.asarray(imgR), jnp.asarray(vR),
+                        jnp.asarray(act), jnp.asarray(lo), jnp.asarray(hi),
+                        2, band=16)
+    np.testing.assert_array_equal(np.asarray(a.disparity),
+                                  np.asarray(b.disparity))
