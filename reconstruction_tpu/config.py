@@ -238,4 +238,13 @@ def preset(name: str) -> ReconstructionConfig:
                               max_points_per_pair=1 << 14),
             surface=SurfaceParams(grid_resolution=64, mg_cycles=4),
         )
-    raise KeyError(f"unknown preset {name!r}; available: myself, ETH, tiny")
+    if name == "dome32":
+        # Synthetic 32-camera dome at 4K (BASELINE.json configs[3]):
+        # 16 adjacent pairs, pair-sharded across hosts.
+        return ReconstructionConfig(
+            pyramid_levels=5,
+            lowest_level_size=(240, 135),
+            cam_pairs=tuple((2 * i, 2 * i + 1) for i in range(16)),
+        )
+    raise KeyError(
+        f"unknown preset {name!r}; available: myself, ETH, tiny, dome32")

@@ -84,3 +84,43 @@ def test_distributed_ba_matches_single(cpu_devices):
     np.testing.assert_allclose(float(c1), float(c2), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-4)
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-4)
+
+
+def test_all_gather_clouds():
+    from reconstruction_tpu.parallel.fusion import all_gather_clouds
+    from reconstruction_tpu.stereo.triangulate import PointCloud
+    rng = np.random.default_rng(7)
+    mesh = make_mesh(jax.devices()[:4], frame=1, pair=4, tile=1)
+    xyz = rng.normal(size=(4, 100, 3)).astype(np.float32)
+    col = rng.uniform(0, 255, (4, 100, 3)).astype(np.float32)
+    val = rng.uniform(size=(4, 100)) < 0.8
+    cloud = PointCloud(xyz=jnp.asarray(xyz), colors=jnp.asarray(col),
+                       valid=jnp.asarray(val))
+    out = all_gather_clouds(mesh, cloud)
+    assert out.xyz.shape == (400, 3)
+    np.testing.assert_allclose(np.asarray(out.xyz), xyz.reshape(400, 3),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out.valid), val.reshape(400))
+
+
+def test_distributed_splat_matches_single():
+    from reconstruction_tpu.parallel.fusion import distributed_splat
+    from reconstruction_tpu.surface.poisson import _splat3
+    rng = np.random.default_rng(8)
+    mesh = make_mesh(jax.devices()[:4], frame=1, pair=4, tile=1)
+    pts = rng.uniform(1, 14, (4, 64, 3)).astype(np.float32)
+    nrm = rng.normal(size=(4, 64, 3)).astype(np.float32)
+    val = np.ones((4, 64), bool)
+    origin = jnp.zeros(3)
+    spacing = jnp.float32(1.0)
+    V, D = distributed_splat(mesh, jnp.asarray(pts), jnp.asarray(nrm),
+                             jnp.asarray(val), origin, spacing, 16)
+    # single-device reference
+    allp = pts.reshape(-1, 3)
+    alln = nrm.reshape(-1, 3)
+    Vr = _splat3(jnp.zeros((16, 16, 16, 3)), jnp.asarray(allp),
+                 jnp.ones(len(allp)), jnp.asarray(alln))
+    Dr = _splat3(jnp.zeros((16, 16, 16)), jnp.asarray(allp),
+                 jnp.ones(len(allp)), jnp.ones(len(allp)))
+    np.testing.assert_allclose(np.asarray(V), np.asarray(Vr), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(D), np.asarray(Dr), atol=1e-4)
