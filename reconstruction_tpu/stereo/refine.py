@@ -79,8 +79,17 @@ def _banded_cost_volume(
     has = bmin <= bmax
     mid = jnp.where(has, (bmin + bmax) * 0.5, 0.0)
     base_b = jnp.round(mid).astype(jnp.int32) - s_cap // 2      # (nb,)
-    lo_b = jnp.where(has, jnp.clip(base_b, -(W - 1), W - 1), 0)
-    hi_b = jnp.where(has, jnp.clip(base_b + s_cap - 1, -(W - 1), W - 1), -1)
+    # Fill only the band's actual disparity range + drift margin (the
+    # refinement nudges d by <= 0.5/iteration toward neighbors, so +-16
+    # covers realistic drift); slots outside stay at the neutral 0.5 the
+    # same way out-of-window candidates do.
+    drift = 16
+    lo_need = jnp.round(bmin).astype(jnp.int32) - 2 - drift
+    hi_need = jnp.round(bmax).astype(jnp.int32) + 3 + drift
+    lo_b = jnp.maximum(base_b, lo_need)
+    hi_b = jnp.minimum(base_b + s_cap - 1, hi_need)
+    lo_b = jnp.where(has, jnp.clip(lo_b, -(W - 1), W - 1), 0)
+    hi_b = jnp.where(has, jnp.clip(hi_b, -(W - 1), W - 1), -1)
 
     def band_fn(args):
         bL, bR, base, lo, hi = args
