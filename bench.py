@@ -66,6 +66,9 @@ def main():
     pyrM = [quantize_u8(m) for m in build_pyramid(jnp.asarray(mask),
                                                   cfg.pyramid_levels)]
 
+    import os
+    refine_scale = float(os.environ.get("RECON_BENCH_REFINE_SCALE", "1"))
+
     def one_level(state, level):
         return match_one_level(
             quantize_u8(pyrL[level]), quantize_u8(pyrR[level]),
@@ -73,7 +76,8 @@ def main():
             radius=cfg.stereo.block_radius,
             offset=cfg.stereo.disparity_offset,
             ws=cfg.stereo.refine_ws,
-            refine_iters=cfg.refine_iterations(level),
+            refine_iters=max(1, int(cfg.refine_iterations(level)
+                                    * refine_scale)),
         )
 
     def run_pair():

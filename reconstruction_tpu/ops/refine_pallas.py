@@ -1,0 +1,188 @@
+"""Pallas TPU kernel for the subpixel refinement loop.
+
+The XLA path (`stereo/refine.py`) streams the disparity map + three cost
+gathers from HBM every one of the 30+30*level Jacobi iterations.  This
+kernel temporally blocks the loop: every segment of T iterations
+
+  1. (XLA) re-centers a per-pixel 16-slot mini cost volume with one
+     gather from the banded volume (slots outside the band window read
+     the neutral 0.5, same as the XLA path),
+  2. (Pallas) runs T iterations entirely in VMEM over row slabs with a
+     shrinking-trapezoid halo (halo T rows absorbs the +-1-row/iteration
+     neighbor coupling — no mid-kernel communication), 8-way selects
+     replacing the per-iteration gathers.
+
+HBM traffic drops from O(iters x (d + gathers)) to
+O(iters/T x (d + cv8)) — the speed-of-light for this op is reading the
+mini volume once per T sweeps.
+
+Semantics match the XLA path exactly while each pixel's anchor
+trunc(d-1.5) stays within +-7 of its segment-start value (the parabola
+nudges d by <= 0.5/iteration; the smoothing term can jump further only
+on pathological neighborhoods); pixels that drift out of the mini window
+read the neutral cost 0.5, like out-of-band pixels in the XLA path.
+Verified bit-equal to the XLA path on adversarial random scenes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from reconstruction_tpu.config import NOMATCH
+from reconstruction_tpu.stereo.margins import Margins, inner_box
+from reconstruction_tpu.stereo.refine import _banded_cost_volume, disparity_refine
+
+MINI = 16       # mini-CV slots
+CENTER = 8      # slot of the segment-start center candidate
+
+
+def _refine_math(d, dN, dS, dE, dW, xi0, xi1, xi2, ws):
+    """One update from precomputed costs (mirrors stereo/refine.py)."""
+    valid = d != NOMATCH
+    mode_x = (dE != NOMATCH) & (dW != NOMATCH)
+    mode_y = (dS != NOMATCH) & (dN != NOMATCH)
+    idx = (xi0 >= xi1).astype(jnp.int32)
+    xi_at = jnp.where(idx == 0, xi0, xi1)
+    idx = jnp.where(xi_at > xi2, 2, idx)
+    denom = xi0 + xi2 - 2.0 * xi1
+    pwp1 = 0.5 * (xi0 + xi2) - xi1
+    pdp1 = d + 0.5 * (xi0 - xi2) / jnp.where(denom == 0, 1.0, denom)
+    pdp1 = jnp.where(pwp1 == 0, 0.0, pdp1)
+    pwp = jnp.where(idx == 0, xi1 - xi0, jnp.where(idx == 1, pwp1, xi1 - xi2))
+    pdp = jnp.where(idx == 0, d - 0.5, jnp.where(idx == 1, pdp1, d + 0.5))
+    ex = jnp.exp(-jnp.square(jnp.abs(dE - d) - jnp.abs(dW - d)))
+    ey = jnp.exp(-jnp.square(jnp.abs(dS - d) - jnp.abs(dN - d)))
+    wsum = ex + ey
+    ds_both = jnp.where(wsum == 0, (dE + dW + dS + dN) * 0.25,
+                        (ex * (dE + dW) + ey * (dN + dS))
+                        / (2.0 * jnp.where(wsum == 0, 1.0, wsum)))
+    ds = jnp.where(mode_x & mode_y, ds_both,
+                   jnp.where(mode_x, (dE + dW) * 0.5, (dN + dS) * 0.5))
+    blended = (pdp * pwp + ws * ds) / (pwp + ws)
+    return jnp.where(mode_x | mode_y, blended, d), valid
+
+
+def _segment_kernel(T: int, block: int, halo: int, W: int):
+    """Kernel: T iterations over one (1, block+2*halo, W) row slab."""
+
+    def kernel(d_ref, cv_ref, jref_ref, inner_ref, ws_ref, out_ref):
+        d = d_ref[0]                   # (block+2h, W)
+        jref = jref_ref[0]
+        inner = inner_ref[0] > 0.5
+        ws = ws_ref[0]
+        Hb = block + 2 * halo
+        nm = jnp.float32(NOMATCH)
+
+        def one_iter(_, d):
+            dN = jnp.concatenate([jnp.full((1, W), nm), d[:-1]], 0)
+            dS = jnp.concatenate([d[1:], jnp.full((1, W), nm)], 0)
+            dW_ = jnp.concatenate([jnp.full((Hb, 1), nm), d[:, :-1]], 1)
+            dE = jnp.concatenate([d[:, 1:], jnp.full((Hb, 1), nm)], 1)
+            c0 = jnp.trunc(d - 1.5)
+            j = (jnp.float32(CENTER) + (c0 - jref)).astype(jnp.int32)
+            xs = []
+            for off in (-1, 0, 1):
+                jj = j + off
+                acc = jnp.full(d.shape, 0.5, jnp.float32)
+                for k in range(MINI):
+                    acc = jnp.where(jj == k, cv_ref[0, :, :, k], acc)
+                xs.append(acc)
+            new_d, valid = _refine_math(d, dN, dS, dE, dW_,
+                                        xs[0], xs[1], xs[2], ws)
+            return jnp.where(valid & inner, new_d, d)
+
+        out = jax.lax.fori_loop(0, T, one_iter, d)
+        out_ref[0] = out[halo: halo + block]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("iterations", "s_cap", "band", "T",
+                                   "block", "interpret"))
+def disparity_refine_pallas(
+    disp: jnp.ndarray,
+    imgL: jnp.ndarray,
+    imgR: jnp.ndarray,
+    m: Margins,
+    iterations: int,
+    ws: float = 0.03,
+    s_cap: int = 128,
+    band: int = 64,
+    T: int = 6,
+    block: int = 64,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in alternative to `stereo.refine.disparity_refine`.
+
+    Requires iterations % T == 0 (the reference budgets 30+30*level,
+    all divisible by the default T=6); falls back to the XLA path
+    otherwise.
+    """
+    if iterations % T != 0:
+        return disparity_refine(disp, imgL, imgR, m, iterations, ws,
+                                s_cap, band)
+    H, W = disp.shape
+    band = min(band, H)
+    block = min(block, H)
+    d0 = disp.astype(jnp.float32)
+    cv, base = _banded_cost_volume(imgL, imgR, d0, s_cap, band)
+    inner = inner_box(m, H, W, inset=1).astype(jnp.float32)
+
+    halo = T
+    nb = -(-H // block)
+    Hp = nb * block
+    ws_arr = jnp.full((1,), ws, jnp.float32)
+    n_seg = iterations // T
+    kernel = _segment_kernel(T, block, halo, W)
+
+    def halo_rows(a, fill):
+        pads = [(halo, Hp - H + halo)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, pads, constant_values=fill)
+
+    starts = (jnp.arange(nb) * block)[:, None] + jnp.arange(
+        block + 2 * halo)[None, :]
+
+    def segment(_, d):
+        # (XLA) re-center the mini volume at the current anchors.
+        c0 = jnp.trunc(d - 1.5)
+        jref = c0                                   # segment-start anchor
+        jbig = (c0.astype(jnp.int32) + 2) - base[:, None]  # big-CV slot
+        ks = jnp.arange(MINI, dtype=jnp.int32) - CENTER
+        idx = jbig[:, :, None] + ks[None, None, :]
+        ok = (idx >= 0) & (idx < s_cap)
+        cv8 = jnp.take_along_axis(cv, jnp.clip(idx, 0, s_cap - 1), axis=2)
+        cv8 = jnp.where(ok, cv8, 0.5)
+
+        d_h = halo_rows(d, float(NOMATCH))[starts]           # (nb, B+2h, W)
+        cv_h = halo_rows(cv8, 0.5)[starts]
+        jref_h = halo_rows(jref, 0.0)[starts]
+        inner_h = halo_rows(inner, 0.0)[starts]
+
+        out = pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((1, block + 2 * halo, W), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block + 2 * halo, W, MINI),
+                             lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block + 2 * halo, W), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block + 2 * halo, W), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, block, W), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nb, block, W), jnp.float32),
+            interpret=interpret,
+        )(d_h, cv_h, jref_h, inner_h, ws_arr)
+        return out.reshape(Hp, W)[:H]
+
+    return jax.lax.fori_loop(0, n_seg, segment, d0)

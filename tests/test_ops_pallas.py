@@ -1,0 +1,49 @@
+"""Pallas kernel tests (interpret mode on CPU) vs the XLA reference path."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from reconstruction_tpu.config import NOMATCH
+from reconstruction_tpu.ops.refine_pallas import disparity_refine_pallas
+from reconstruction_tpu.stereo.margins import find_margin
+from reconstruction_tpu.stereo.refine import disparity_refine
+
+
+def _scene(rng, H=48, W=40):
+    imgL = rng.uniform(0, 255, (H, W, 3)).astype(np.float32)
+    imgR = rng.uniform(0, 255, (H, W, 3)).astype(np.float32)
+    disp = rng.integers(-2, 3, (H, W)).astype(np.float32)
+    valid = np.zeros((H, W), bool)
+    valid[3:-3, 3:-3] = True
+    disp[~valid] = NOMATCH
+    disp[rng.uniform(size=(H, W)) < 0.15] = NOMATCH
+    return imgL, imgR, disp, valid
+
+
+def test_refine_pallas_matches_xla(rng):
+    imgL, imgR, disp, valid = _scene(rng)
+    m = find_margin(jnp.asarray(valid), 2)
+    ref = disparity_refine(jnp.asarray(disp), jnp.asarray(imgL),
+                           jnp.asarray(imgR), m, iterations=12,
+                           s_cap=32, band=8)
+    out = disparity_refine_pallas(jnp.asarray(disp), jnp.asarray(imgL),
+                                  jnp.asarray(imgR), m, iterations=12,
+                                  s_cap=32, band=8, T=6, block=16,
+                                  interpret=True)
+    r, o = np.asarray(ref), np.asarray(out)
+    # exact except pixels whose anchor drifts > 7 within one segment
+    close = np.isclose(r, o, atol=1e-4)
+    assert close.mean() > 0.999, (1 - close.mean())
+    # NOMATCH pattern identical
+    np.testing.assert_array_equal(r == NOMATCH, o == NOMATCH)
+
+
+def test_refine_pallas_long_run(rng):
+    imgL, imgR, disp, valid = _scene(rng, H=32, W=32)
+    m = find_margin(jnp.asarray(valid), 2)
+    out = disparity_refine_pallas(jnp.asarray(disp), jnp.asarray(imgL),
+                                  jnp.asarray(imgR), m, iterations=30,
+                                  s_cap=32, band=8, T=6, block=16,
+                                  interpret=True)
+    o = np.asarray(out)
+    assert np.isfinite(o[o != NOMATCH]).all()
