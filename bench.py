@@ -68,6 +68,7 @@ def main():
 
     import os
     refine_scale = float(os.environ.get("RECON_BENCH_REFINE_SCALE", "1"))
+    refine_impl = os.environ.get("RECON_REFINE_IMPL", "xla")
 
     def one_level(state, level):
         return match_one_level(
@@ -78,6 +79,7 @@ def main():
             ws=cfg.stereo.refine_ws,
             refine_iters=max(1, int(cfg.refine_iterations(level)
                                     * refine_scale)),
+            refine_impl=refine_impl,
         )
 
     def run_pair():

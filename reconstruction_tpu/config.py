@@ -60,6 +60,9 @@ class StereoParams:
     # Extra erosion before triangulation, fraction of image height
     # (`CStereoMatching.cpp:703`).
     cloud_erode_frac: float = 0.02
+    # Refinement implementation: "xla" (reference path) or "pallas"
+    # (temporally-blocked VMEM kernel, ops/refine_pallas.py).
+    refine_impl: str = "xla"
 
 
 @dataclass(frozen=True)

@@ -45,7 +45,8 @@ class LevelState(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("level", "radius", "offset", "ws",
-                                   "refine_iters", "median_iters", "s_cap"))
+                                   "refine_iters", "median_iters", "s_cap",
+                                   "refine_impl"))
 def match_one_level(
     img0: jnp.ndarray,
     img1: jnp.ndarray,
@@ -59,6 +60,7 @@ def match_one_level(
     refine_iters: int = 30,
     median_iters: int = 1,
     s_cap: int = 128,
+    refine_impl: str = "xla",
 ) -> LevelState:
     """One pyramid level for both directions (`MatchOneLayer`,
     `CStereoMatching.cpp:36-113`)."""
@@ -92,8 +94,15 @@ def match_one_level(
     d0 = median_filter(d0, v0, m0, median_iters)
     d1 = median_filter(d1, v1, m1, median_iters)
 
-    d0 = disparity_refine(d0, img0, img1, m0, refine_iters, ws, s_cap)
-    d1 = disparity_refine(d1, img1, img0, m1, refine_iters, ws, s_cap)
+    if refine_impl == "pallas":
+        from reconstruction_tpu.ops.refine_pallas import disparity_refine_pallas
+        d0 = disparity_refine_pallas(d0, img0, img1, m0, refine_iters, ws,
+                                     s_cap)
+        d1 = disparity_refine_pallas(d1, img1, img0, m1, refine_iters, ws,
+                                     s_cap)
+    else:
+        d0 = disparity_refine(d0, img0, img1, m0, refine_iters, ws, s_cap)
+        d1 = disparity_refine(d1, img1, img0, m1, refine_iters, ws, s_cap)
     d0, d1 = uniqueness_constraint(d0, d1, m0, m1)
     return LevelState(disp0=d0, disp1=d1)
 
@@ -161,6 +170,7 @@ def match_pair(
             ws=cfg.stereo.refine_ws,
             refine_iters=cfg.refine_iterations(level),
             median_iters=cfg.stereo.median_iterations,
+            refine_impl=cfg.stereo.refine_impl,
         )
 
     finest = cfg.pyramid_levels - 1
