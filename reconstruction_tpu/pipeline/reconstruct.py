@@ -112,8 +112,17 @@ def reconstruct(
     pairs: Sequence[PairInput],
     output_path: Optional[str] = None,
     checkpoint_dir: Optional[str] = None,
+    artifact_dir: Optional[str] = None,
 ) -> Reconstruction:
-    """Run the full pipeline on host-resident pair inputs."""
+    """Run the full pipeline on host-resident pair inputs.
+
+    With cfg.isoutput, per-pair artifacts are written under artifact_dir
+    (default "tmp", like the reference): cloud<i>.ply (the per-pair
+    filtered colored cloud, `CStereoMatching.cpp:723-757`) and
+    color_<i>_{0,1}.ply scan meshes (`CCloudOptimization.cpp:127-143`).
+    """
+    if cfg.isoutput and artifact_dir is None:
+        artifact_dir = "tmp"
     timer = Timer()
     stats = StageStats()
     from reconstruction_tpu.pipeline.checkpoint import StageStore
@@ -154,6 +163,21 @@ def reconstruct(
             mask0 = None
             stats.add(f"pair{pi}", raw_points=int(np.asarray(cloud.valid).sum()),
                       kept_points=len(xyz))
+            if cfg.isoutput and artifact_dir:
+                os.makedirs(artifact_dir, exist_ok=True)
+                write_ply(os.path.join(artifact_dir, f"cloud{pi}.ply"),
+                          xyz, colors=col, color_order="bgr")
+                from reconstruction_tpu.pipeline.scan_mesh import pair_scan_mesh
+                try:
+                    pair_scan_mesh(
+                        cfg, xyz, nrm, pi,
+                        res.rectification.P1_world,
+                        res.rectification.P2_world,
+                        _as_working_image(cfg, pin, res, 0),
+                        _as_working_image(cfg, pin, res, 1),
+                        out_dir=artifact_dir)
+                except Exception as e:  # per-pair scans are best-effort
+                    log.warning("pair %d scan mesh failed: %s", pi, e)
             if store:
                 store.save("pair_cloud", pi,
                            xyz=xyz, nrm=nrm, col=col,
