@@ -77,6 +77,9 @@ def _segment_kernel(T: int, block: int, halo: int, W: int):
         ws = ws_ref[0]
         Hb = block + 2 * halo
         nm = jnp.float32(NOMATCH)
+        # cv_ref block is (1, MINI, block+2h, W): the mini axis leads so
+        # the (sublane, lane) dims are the large row/col dims — a trailing
+        # 16-wide axis would pad to 128 lanes and blow VMEM 8x.
 
         def one_iter(_, d):
             dN = jnp.concatenate([jnp.full((1, W), nm), d[:-1]], 0)
@@ -90,7 +93,7 @@ def _segment_kernel(T: int, block: int, halo: int, W: int):
                 jj = j + off
                 acc = jnp.full(d.shape, 0.5, jnp.float32)
                 for k in range(MINI):
-                    acc = jnp.where(jj == k, cv_ref[0, :, :, k], acc)
+                    acc = jnp.where(jj == k, cv_ref[0, k], acc)
                 xs.append(acc)
             new_d, valid = _refine_math(d, dN, dS, dE, dW_,
                                         xs[0], xs[1], xs[2], ws)
@@ -159,7 +162,8 @@ def disparity_refine_pallas(
         cv8 = jnp.where(ok, cv8, 0.5)
 
         d_h = halo_rows(d, float(NOMATCH))[starts]           # (nb, B+2h, W)
-        cv_h = halo_rows(cv8, 0.5)[starts]
+        # mini axis to the front: (nb, MINI, B+2h, W)
+        cv_h = halo_rows(cv8, 0.5)[starts].transpose(0, 3, 1, 2)
         jref_h = halo_rows(jref, 0.0)[starts]
         inner_h = halo_rows(inner, 0.0)[starts]
 
@@ -169,7 +173,7 @@ def disparity_refine_pallas(
             in_specs=[
                 pl.BlockSpec((1, block + 2 * halo, W), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block + 2 * halo, W, MINI),
+                pl.BlockSpec((1, MINI, block + 2 * halo, W),
                              lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, block + 2 * halo, W), lambda i: (i, 0, 0),
