@@ -119,3 +119,25 @@ def test_roofline_model():
     u = c.utilization(1.0, "v5e")
     assert u["gflops_per_s"] > 0
     assert u["bound"] in ("hbm", "flops")
+
+
+def test_point_to_mesh_distance():
+    from reconstruction_tpu.utils.metrics import (
+        chamfer_distance, point_to_mesh_distance, point_to_mesh_rmse)
+    # unit square split into two triangles in z=0 plane
+    verts = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    pts = np.array([
+        [0.5, 0.5, 0.3],    # above interior -> 0.3
+        [0.5, 0.5, 0.0],    # on surface -> 0
+        [2.0, 0.5, 0.0],    # right of edge x=1 -> 1.0
+        [-1.0, -1.0, 0.0],  # beyond corner -> sqrt(2)
+        [0.5, 0.5, -0.25],  # below -> 0.25
+    ], np.float32)
+    d = point_to_mesh_distance(pts, verts, faces)
+    np.testing.assert_allclose(d, [0.3, 0.0, 1.0, np.sqrt(2), 0.25],
+                               atol=1e-5)
+    assert point_to_mesh_rmse(pts, verts, faces) > 0
+    rng2 = np.random.default_rng(0)
+    a = rng2.normal(size=(100, 3)).astype(np.float32)
+    assert chamfer_distance(a, a) < 1e-6
