@@ -61,6 +61,23 @@ def run_batch(path_file: str, checkpoint_root: Optional[str] = None) -> None:
         os.makedirs(output_path, exist_ok=True)
         for expr in range(EXPRESSION_NUM):
             cfg = generate_take_config(input_path, output_path, expr)
+            # persist the generated run config like the reference
+            # (`BatchProcess/main.cpp:47-73` writes config.yml per take)
+            from reconstruction_tpu.io.opencv_yaml import save_opencv_yaml
+            import numpy as _np
+            save_opencv_yaml(os.path.join(output_path,
+                                          f"config_{expr + 1}.yml"), {
+                "filepath": cfg.filepath,
+                "outfilename": cfg.outfilename,
+                "isoutput": int(cfg.isoutput),
+                "camera_calib_name": cfg.camera_calib_name,
+                "PyrmNum": cfg.pyramid_levels,
+                "LowestLevelWidth": cfg.lowest_level_size[0],
+                "LowestLevelHeight": cfg.lowest_level_size[1],
+                "imagelist": list(cfg.imagelist),
+                "masklist": list(cfg.masklist),
+                "camID": _np.asarray(cfg.cam_pairs, _np.uint8),
+            })
             calib = load_opencv_yaml(
                 os.path.join(input_path, cfg.camera_calib_name))
             pairs = []
