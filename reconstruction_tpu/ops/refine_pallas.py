@@ -117,7 +117,7 @@ def disparity_refine_pallas(
     s_cap: int = 128,
     band: int = 64,
     T: int = 6,
-    block: int = 64,
+    block: int = 32,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in alternative to `stereo.refine.disparity_refine`.
