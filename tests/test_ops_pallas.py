@@ -47,3 +47,18 @@ def test_refine_pallas_long_run(rng):
                                   interpret=True)
     o = np.asarray(out)
     assert np.isfinite(o[o != NOMATCH]).all()
+
+
+def test_refine_minicv_matches_gather_path(rng):
+    imgL, imgR, disp, valid = _scene(rng)
+    m = find_margin(jnp.asarray(valid), 2)
+    a = disparity_refine(jnp.asarray(disp), jnp.asarray(imgL),
+                         jnp.asarray(imgR), m, iterations=24,
+                         s_cap=32, band=8, use_minicv=False)
+    b = disparity_refine(jnp.asarray(disp), jnp.asarray(imgL),
+                         jnp.asarray(imgR), m, iterations=24,
+                         s_cap=32, band=8, use_minicv=True)
+    an, bn = np.asarray(a), np.asarray(b)
+    close = np.isclose(an, bn, atol=1e-4)
+    assert close.mean() > 0.999, (1 - close.mean())
+    np.testing.assert_array_equal(an == NOMATCH, bn == NOMATCH)
