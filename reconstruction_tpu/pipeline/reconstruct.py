@@ -131,8 +131,7 @@ def reconstruct(
     all_xyz: List[np.ndarray] = []
     all_nrm: List[np.ndarray] = []
     all_col: List[np.ndarray] = []
-    pair_results: List[PairResult] = []
-    pair_masks0: List[np.ndarray] = []
+    pair_results: List[Optional[PairResult]] = []
 
     for pi, pin in enumerate(pairs):
         log.info("pair %d/%d: stereo matching", pi + 1, len(pairs))
@@ -185,8 +184,7 @@ def reconstruct(
         all_xyz.append(xyz)
         all_nrm.append(nrm)
         all_col.append(col)
-        if res is not None:
-            pair_results.append(res)
+        pair_results.append(res)  # None for checkpoint-restored pairs
 
     xyz = np.concatenate(all_xyz, axis=0)
     nrm = np.concatenate(all_nrm, axis=0)
@@ -194,14 +192,16 @@ def reconstruct(
     valid = np.ones(len(xyz), bool)
     log.info("fused cloud: %d points", len(xyz))
 
+    live_results = [r for r in pair_results if r is not None]
+
     # Optional cross-view dedup (`CCloudOptimization.cpp:152-346`).
-    if cfg.cloud.dedup and pair_results:
+    if cfg.cloud.dedup and live_results:
         with timer.span("dedup"):
             finest = cfg.pyramid_levels - 1
             ctx = build_dedup_inputs(
-                pair_results,
+                live_results,
                 [np.ones(cfg.finest_size[::-1], np.float32) * 255
-                 for _ in pair_results])
+                 for _ in live_results])
             valid = np.asarray(cross_view_dedup(
                 jnp.asarray(xyz), jnp.asarray(nrm), jnp.asarray(valid), ctx))
             stats.add("dedup", kept=int(valid.sum()))
@@ -250,6 +250,8 @@ def reconstruct(
         vnorm = _vertex_normals(verts, faces)
         cams = []
         for pi, res in enumerate(pair_results):
+            if res is None:
+                continue  # checkpoint-restored pair: no projection context
             pin = pairs[pi]
             # textures sample the working-resolution rectified images via
             # the reference's world->scaled-pixel P (`CStereoMatching.cpp:145`)
@@ -266,7 +268,8 @@ def reconstruct(
 
     return Reconstruction(vertices=verts, faces=faces, colors=colors,
                           cloud_xyz=xyz_s, cloud_normals=nrm_s,
-                          pair_results=pair_results, stats=stats, timer=timer)
+                          pair_results=live_results, stats=stats,
+                          timer=timer)
 
 
 def _vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
