@@ -231,84 +231,76 @@ def _refine_minicv(
     iterations: int,
     ws: jnp.ndarray,
     s_cap: int,
-    mini: int = 16,
-    T: int = 6,
+    mini: int = 32,
 ) -> jnp.ndarray:
-    """Segmented mini-cost-volume refinement (gather-free iterations).
+    """Gather-free refinement: one 32-slot per-pixel cost window.
 
-    Every T iterations one take_along_axis re-centers a per-pixel
-    ``mini``-slot window of the banded volume; within a segment the three
-    xi lookups become ``mini``-way selects over a (mini, H, W) tensor —
-    pure VPU traffic.  Pixels whose anchor drifts outside the window read
-    the neutral 0.5 exactly like out-of-band pixels.
+    TPU minor-axis gathers serialize, so NO take_along_axis anywhere:
+    the per-pixel window (centered on the initial anchor) is built once
+    by fused equality-selects over the banded volume's slot axis, and
+    every iteration's three xi lookups are branch-free selects over the
+    (mini, H, W) window.  Drift beyond +-(mini/2 - 4) of the initial
+    anchor reads the neutral 0.5 — consistent with the banded volume's
+    own fill margin (stereo/refine._banded_cost_volume drift=16).
     """
     H, W = disp.shape
     center = mini // 2
-    n_seg = -(-iterations // T)
-    last_T = iterations - (n_seg - 1) * T
+    d0 = disp
+    c00 = jnp.trunc(d0 - 1.5)
+    jref = c00  # initial anchor per pixel
+    jbig0 = (c00.astype(jnp.int32) + 2) - base[:, None]  # big slot of center
 
-    def make_segment(t_iters):
-        def segment(d):
-            c0 = jnp.trunc(d - 1.5)
-            jref = c0
-            jbig = (c0.astype(jnp.int32) + 2) - base[:, None]
-            ks = jnp.arange(mini, dtype=jnp.int32) - center
-            idx = jbig[:, :, None] + ks[None, None, :]
-            ok = (idx >= 0) & (idx < s_cap)
-            cvm = jnp.take_along_axis(cv, jnp.clip(idx, 0, s_cap - 1), axis=2)
-            cvm = jnp.where(ok, cvm, 0.5)
-            cvm = jnp.moveaxis(cvm, -1, 0)  # (mini, H, W)
+    # Window build: ONE gather of 32 consecutive slots per pixel.  The
+    # minor-axis gather is slow on TPU but runs once per refine call (the
+    # old path ran 3 of them per iteration = 360+ per call).
+    ks32 = jnp.arange(mini, dtype=jnp.int32) - center
+    idx = jbig0[:, :, None] + ks32[None, None, :]
+    ok = (idx >= 0) & (idx < s_cap)
+    cvm = jnp.take_along_axis(cv, jnp.clip(idx, 0, s_cap - 1), axis=2)
+    cvm = jnp.moveaxis(jnp.where(ok, cvm, 0.5), -1, 0)  # (mini, H, W)
 
-            def one_iter(d, _):
-                valid = d != NOMATCH
-                dE = shifted(d, 0, 1)
-                dW = shifted(d, 0, -1)
-                dN = shifted(d, -1, 0)
-                dS = shifted(d, 1, 0)
-                mode_x = (dE != NOMATCH) & (dW != NOMATCH)
-                mode_y = (dS != NOMATCH) & (dN != NOMATCH)
-                c0i = jnp.trunc(d - 1.5)
-                j = (jnp.float32(center) + (c0i - jref)).astype(jnp.int32)
-                xs = []
-                for off in (-1, 0, 1):
-                    jj = j + off
-                    acc = jnp.full(d.shape, 0.5, jnp.float32)
-                    for k in range(mini):
-                        acc = jnp.where(jj == k, cvm[k], acc)
-                    xs.append(acc)
-                xi0, xi1, xi2 = xs
-                idx2 = (xi0 >= xi1).astype(jnp.int32)
-                xi_at = jnp.where(idx2 == 0, xi0, xi1)
-                idx2 = jnp.where(xi_at > xi2, 2, idx2)
-                denom = xi0 + xi2 - 2.0 * xi1
-                pwp1 = 0.5 * (xi0 + xi2) - xi1
-                pdp1 = d + 0.5 * (xi0 - xi2) / jnp.where(denom == 0, 1.0,
-                                                         denom)
-                pdp1 = jnp.where(pwp1 == 0, 0.0, pdp1)
-                pwp = jnp.where(idx2 == 0, xi1 - xi0,
-                                jnp.where(idx2 == 1, pwp1, xi1 - xi2))
-                pdp = jnp.where(idx2 == 0, d - 0.5,
-                                jnp.where(idx2 == 1, pdp1, d + 0.5))
-                ex = jnp.exp(-jnp.square(jnp.abs(dE - d) - jnp.abs(dW - d)))
-                ey = jnp.exp(-jnp.square(jnp.abs(dS - d) - jnp.abs(dN - d)))
-                wsum = ex + ey
-                ds_both = jnp.where(
-                    wsum == 0, (dE + dW + dS + dN) * 0.25,
-                    (ex * (dE + dW) + ey * (dN + dS))
-                    / (2.0 * jnp.where(wsum == 0, 1.0, wsum)))
-                dsv = jnp.where(mode_x & mode_y, ds_both,
-                                jnp.where(mode_x, (dE + dW) * 0.5,
-                                          (dN + dS) * 0.5))
-                blended = (pdp * pwp + ws * dsv) / (pwp + ws)
-                new_d = jnp.where(mode_x | mode_y, blended, d)
-                return jnp.where(valid & inner, new_d, d), None
+    def one_iter(d, _):
+        valid = d != NOMATCH
+        dE = shifted(d, 0, 1)
+        dW = shifted(d, 0, -1)
+        dN = shifted(d, -1, 0)
+        dS = shifted(d, 1, 0)
+        mode_x = (dE != NOMATCH) & (dW != NOMATCH)
+        mode_y = (dS != NOMATCH) & (dN != NOMATCH)
+        c0i = jnp.trunc(d - 1.5)
+        j = (jnp.float32(center) + (c0i - jref)).astype(jnp.int32)
+        xs = []
+        for off in (-1, 0, 1):
+            jj = j + off
+            acc = jnp.full(d.shape, 0.5, jnp.float32)
+            for k in range(mini):
+                acc = jnp.where(jj == k, cvm[k], acc)
+            xs.append(acc)
+        xi0, xi1, xi2 = xs
+        idx2 = (xi0 >= xi1).astype(jnp.int32)
+        xi_at = jnp.where(idx2 == 0, xi0, xi1)
+        idx2 = jnp.where(xi_at > xi2, 2, idx2)
+        denom = xi0 + xi2 - 2.0 * xi1
+        pwp1 = 0.5 * (xi0 + xi2) - xi1
+        pdp1 = d + 0.5 * (xi0 - xi2) / jnp.where(denom == 0, 1.0, denom)
+        pdp1 = jnp.where(pwp1 == 0, 0.0, pdp1)
+        pwp = jnp.where(idx2 == 0, xi1 - xi0,
+                        jnp.where(idx2 == 1, pwp1, xi1 - xi2))
+        pdp = jnp.where(idx2 == 0, d - 0.5,
+                        jnp.where(idx2 == 1, pdp1, d + 0.5))
+        ex = jnp.exp(-jnp.square(jnp.abs(dE - d) - jnp.abs(dW - d)))
+        ey = jnp.exp(-jnp.square(jnp.abs(dS - d) - jnp.abs(dN - d)))
+        wsum = ex + ey
+        ds_both = jnp.where(
+            wsum == 0, (dE + dW + dS + dN) * 0.25,
+            (ex * (dE + dW) + ey * (dN + dS))
+            / (2.0 * jnp.where(wsum == 0, 1.0, wsum)))
+        dsv = jnp.where(mode_x & mode_y, ds_both,
+                        jnp.where(mode_x, (dE + dW) * 0.5,
+                                  (dN + dS) * 0.5))
+        blended = (pdp * pwp + ws * dsv) / (pwp + ws)
+        new_d = jnp.where(mode_x | mode_y, blended, d)
+        return jnp.where(valid & inner, new_d, d), None
 
-            out, _ = jax.lax.scan(one_iter, d, None, length=t_iters)
-            return out
-        return segment
-
-    seg_full = make_segment(T)
-    d = disp
-    if n_seg > 1:
-        d = jax.lax.fori_loop(0, n_seg - 1, lambda i, dd: seg_full(dd), d)
-    return make_segment(last_T)(d)
+    out, _ = jax.lax.scan(one_iter, d0, None, length=iterations)
+    return out
