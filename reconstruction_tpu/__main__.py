@@ -34,7 +34,12 @@ def main(argv):
     else:
         from reconstruction_tpu.pipeline.reconstruct import (
             load_run_config, reconstruct)
-        cfg, pairs = load_run_config(argv[1])
+        try:
+            cfg, pairs = load_run_config(argv[1])
+        except FileNotFoundError as e:
+            # clean failure like the reference (`CReconstruction.cpp:8-14`)
+            print(f"Can't open file: {e.filename}")
+            return -1
         res = reconstruct(cfg, pairs, output_path=cfg.outfilename)
         print(res.timer.report())
     print(f"total time: {time.time() - start:.3f} s")

@@ -1,27 +1,23 @@
 """Pallas TPU kernel for the subpixel refinement loop.
 
-The XLA path (`stereo/refine.py`) streams the disparity map + three cost
-gathers from HBM every one of the 30+30*level Jacobi iterations.  This
-kernel temporally blocks the loop: every segment of T iterations
+The XLA path (`stereo/refine.py`) streams the disparity map and the
+(mini, H, W) cost window from HBM every one of the 30+30*level Jacobi
+iterations (~1.4 ms/iteration at 1920x1280).  This kernel temporally
+blocks the loop: the per-pixel 32-slot window is built ONCE (same
+gather-free binary-shift extractor as the XLA path, same fixed anchors),
+then every segment of T iterations runs entirely in VMEM over row slabs
+with a shrinking-trapezoid halo (halo T rows absorbs the
++-1-row/iteration neighbor coupling — no mid-kernel communication),
+branch-free selects replacing per-iteration gathers.
 
-  1. (XLA) re-centers a per-pixel 16-slot mini cost volume with one
-     gather from the banded volume (slots outside the band window read
-     the neutral 0.5, same as the XLA path),
-  2. (Pallas) runs T iterations entirely in VMEM over row slabs with a
-     shrinking-trapezoid halo (halo T rows absorbs the +-1-row/iteration
-     neighbor coupling — no mid-kernel communication), 8-way selects
-     replacing the per-iteration gathers.
+HBM traffic drops from O(iters x cvm) to O(iters/T x cvm) — the
+speed-of-light for this op is reading the window volume once per T
+sweeps.
 
-HBM traffic drops from O(iters x (d + gathers)) to
-O(iters/T x (d + cv8)) — the speed-of-light for this op is reading the
-mini volume once per T sweeps.
-
-Semantics match the XLA path exactly while each pixel's anchor
-trunc(d-1.5) stays within +-7 of its segment-start value (the parabola
-nudges d by <= 0.5/iteration; the smoothing term can jump further only
-on pathological neighborhoods); pixels that drift out of the mini window
-read the neutral cost 0.5, like out-of-band pixels in the XLA path.
-Verified bit-equal to the XLA path on adversarial random scenes.
+Because the window is fixed at the segment-0 anchors (exactly like the
+XLA mini-CV path), the kernel is BIT-EQUAL to the XLA path for any T:
+both paths read the same costs for anchors within +-(mini/2) of the
+initial anchor and the neutral 0.5 beyond.
 """
 
 from __future__ import annotations
@@ -35,10 +31,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from reconstruction_tpu.config import NOMATCH
 from reconstruction_tpu.stereo.margins import Margins, inner_box
-from reconstruction_tpu.stereo.refine import _banded_cost_volume, disparity_refine
+from reconstruction_tpu.stereo.refine import (_banded_cost_volume,
+                                              _window_slots_binshift,
+                                              disparity_refine)
 
-MINI = 16       # mini-CV slots
-CENTER = 8      # slot of the segment-start center candidate
+MINI = 32       # window slots (same as the XLA mini-CV path)
+CENTER = 16     # slot of the initial center candidate
 
 
 def _refine_math(d, dN, dS, dE, dW, xi0, xi1, xi2, ws):
@@ -116,15 +114,18 @@ def disparity_refine_pallas(
     ws: float = 0.03,
     s_cap: int = 128,
     band: int = 64,
-    T: int = 6,
-    block: int = 32,
+    T: int = 10,
+    block: int = 16,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Drop-in alternative to `stereo.refine.disparity_refine`.
+    """Drop-in alternative to `stereo.refine.disparity_refine`
+    (bit-equal to its default mini-CV path).
 
     Requires iterations % T == 0 (the reference budgets 30+30*level,
-    all divisible by the default T=6); falls back to the XLA path
-    otherwise.
+    all divisible by the default T=10); falls back to the XLA path
+    otherwise.  block=16 keeps the (MINI, block+2T, W) window slab
+    within scoped VMEM (16 MB incl. pipeline double-buffering) at
+    W=1280.
     """
     if iterations % T != 0:
         return disparity_refine(disp, imgL, imgR, m, iterations, ws,
@@ -135,6 +136,14 @@ def disparity_refine_pallas(
     d0 = disp.astype(jnp.float32)
     cv, base = _banded_cost_volume(imgL, imgR, d0, s_cap, band)
     inner = inner_box(m, H, W, inset=1).astype(jnp.float32)
+
+    # Fixed per-pixel window at the segment-0 anchors — identical to the
+    # XLA mini-CV path, so all segments share one window (no per-segment
+    # re-centering, no gathers anywhere).
+    c00 = jnp.trunc(d0 - 1.5)
+    jref = c00
+    jbig0 = (c00.astype(jnp.int32) + 2) - base[:, None]
+    cvm = _window_slots_binshift(cv, jbig0 - CENTER, MINI, s_cap)
 
     halo = T
     nb = -(-H // block)
@@ -150,23 +159,15 @@ def disparity_refine_pallas(
     starts = (jnp.arange(nb) * block)[:, None] + jnp.arange(
         block + 2 * halo)[None, :]
 
+    # Band the loop-invariant operands ONCE (the segment loop only
+    # re-bands the disparity map).  Mini axis to the front: a trailing
+    # 32-wide axis would pad to 128 lanes and blow VMEM 4x.
+    cv_h = halo_rows(cvm, 0.5)[starts].transpose(0, 3, 1, 2)
+    jref_h = halo_rows(jref, 0.0)[starts]
+    inner_h = halo_rows(inner, 0.0)[starts]
+
     def segment(_, d):
-        # (XLA) re-center the mini volume at the current anchors.
-        c0 = jnp.trunc(d - 1.5)
-        jref = c0                                   # segment-start anchor
-        jbig = (c0.astype(jnp.int32) + 2) - base[:, None]  # big-CV slot
-        ks = jnp.arange(MINI, dtype=jnp.int32) - CENTER
-        idx = jbig[:, :, None] + ks[None, None, :]
-        ok = (idx >= 0) & (idx < s_cap)
-        cv8 = jnp.take_along_axis(cv, jnp.clip(idx, 0, s_cap - 1), axis=2)
-        cv8 = jnp.where(ok, cv8, 0.5)
-
         d_h = halo_rows(d, float(NOMATCH))[starts]           # (nb, B+2h, W)
-        # mini axis to the front: (nb, MINI, B+2h, W)
-        cv_h = halo_rows(cv8, 0.5)[starts].transpose(0, 3, 1, 2)
-        jref_h = halo_rows(jref, 0.0)[starts]
-        inner_h = halo_rows(inner, 0.0)[starts]
-
         out = pl.pallas_call(
             kernel,
             grid=(nb,),

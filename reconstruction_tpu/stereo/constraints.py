@@ -142,6 +142,62 @@ def ordering_constraint(disp: jnp.ndarray, m: Margins,
 # Uniqueness
 # ---------------------------------------------------------------------------
 
+def _q_lookup_banded(q: jnp.ndarray, bL: jnp.ndarray, active: jnp.ndarray,
+                     band: int = 64) -> Tuple[jnp.ndarray, ...]:
+    """qv_k[y, x] = q[y, clip(bL + k, 0, W-1)] for k in {0, 1, 2}, computed
+    WITHOUT minor-axis gathers (TPU gathers on the lane dimension
+    serialize): rows are banded and each band sweeps only its own range of
+    shifts s = clip(bL+k) - x, selecting from uniformly shifted copies of
+    q.  Values at ~active pixels are arbitrary (0)."""
+    H, W = q.shape
+    band = min(band, H)
+    nb = -(-H // band)
+    Hp = nb * band
+    x = jnp.arange(W, dtype=jnp.int32)[None, :]
+    sentinel_lo = jnp.int32(1 << 20)
+    sentinel_hi = jnp.int32(-(1 << 20))
+
+    cols = [jnp.clip(bL + k, 0, W - 1) for k in range(3)]
+    deltas = [jnp.where(active, c - x, sentinel_lo) for c in cols]
+    d_lo = jnp.minimum(jnp.minimum(
+        jnp.where(active, cols[0] - x, sentinel_lo),
+        jnp.where(active, cols[1] - x, sentinel_lo)),
+        jnp.where(active, cols[2] - x, sentinel_lo))
+    d_hi = jnp.maximum(jnp.maximum(
+        jnp.where(active, cols[0] - x, sentinel_hi),
+        jnp.where(active, cols[1] - x, sentinel_hi)),
+        jnp.where(active, cols[2] - x, sentinel_hi))
+
+    def pad_rows(a, fill=0.0):
+        return jnp.pad(a, [(0, Hp - H)] + [(0, 0)] * (a.ndim - 1),
+                       constant_values=fill)
+
+    qb = pad_rows(q).reshape(nb, band, W)
+    db = [pad_rows(d, 1 << 20).reshape(nb, band, W) for d in deltas]
+    lob = pad_rows(d_lo, 1 << 20).reshape(nb, band, W)
+    hib = pad_rows(d_hi, -(1 << 20)).reshape(nb, band, W)
+
+    def band_fn(args):
+        qrows, d0, d1, d2, lo, hi = args
+        any_act = hi.max() >= lo.min()
+        s_min = jnp.clip(jnp.where(any_act, lo.min(), 0), -(W - 1), W - 1)
+        s_max = jnp.clip(jnp.where(any_act, hi.max(), -1), -(W - 1), W - 1)
+        q_pad = jnp.pad(qrows, ((0, 0), (W, W)))
+
+        def body(s, state):
+            v0, v1, v2 = state
+            qs = jax.lax.dynamic_slice(q_pad, (0, W + s), (band, W))
+            return (jnp.where(d0 == s, qs, v0),
+                    jnp.where(d1 == s, qs, v1),
+                    jnp.where(d2 == s, qs, v2))
+
+        init = tuple(jnp.zeros((band, W), q.dtype) for _ in range(3))
+        return jax.lax.fori_loop(s_min, s_max + 1, body, init)
+
+    v0, v1, v2 = jax.lax.map(band_fn, (qb, *db, lob, hib))
+    return tuple(v.reshape(Hp, W)[:H] for v in (v0, v1, v2))
+
+
 def _uniqueness_pass(p: jnp.ndarray, q: jnp.ndarray,
                      m_src: Margins, m_tgt: Margins) -> jnp.ndarray:
     """One directional pass of `UniquenessContraint_`
@@ -155,16 +211,14 @@ def _uniqueness_pass(p: jnp.ndarray, q: jnp.ndarray,
     bL = jnp.maximum(base, m_tgt.XL.astype(jnp.int32))
     bR = jnp.minimum(bL + 2, m_tgt.XR.astype(jnp.int32))
 
-    def q_at(idx):
-        return jnp.take_along_axis(q, jnp.clip(idx, 0, W - 1), axis=1)
+    qv = _q_lookup_banded(q, bL, valid)
 
     hit = jnp.zeros(p.shape, bool)
     for k in range(3):
-        idx = bL + k
-        ok = idx <= bR
-        hit = hit | (ok & (jnp.abs(q_at(idx) + p) < 2))
+        ok = (bL + k) <= bR
+        hit = hit | (ok & valid & (jnp.abs(qv[k] + p) < 2))
 
-    q_mid = q_at(bL + 1)
+    q_mid = qv[1]
     p_east = shifted(p, 0, 1)
     c_east = jnp.abs(q_mid + p_east) >= 2           # uses original p[x+1]
     c_west_orig = jnp.abs(q_mid + shifted(p, 0, -1)) >= 2
@@ -228,8 +282,12 @@ def median_filter(disp: jnp.ndarray, valid_mask: jnp.ndarray, m: Margins,
         svals = jnp.sort(sortable, axis=0)
         lo = jnp.clip((k - 1) // 2, 0, 5)
         hi = jnp.clip(k // 2, 0, 5)
-        v_lo = jnp.take_along_axis(svals, lo[None], axis=0)[0]
-        v_hi = jnp.take_along_axis(svals, hi[None], axis=0)[0]
+        # per-pixel rank lookups as 6-way selects (no per-pixel gathers)
+        v_lo = svals[0]
+        v_hi = svals[0]
+        for r in range(1, 6):
+            v_lo = jnp.where(lo == r, svals[r], v_lo)
+            v_hi = jnp.where(hi == r, svals[r], v_hi)
         med = jnp.trunc((v_lo + v_hi) / 2.0)
         center_valid = d != NOMATCH
         out = jnp.where(

@@ -95,7 +95,7 @@ class SweepResult(NamedTuple):
     score: jnp.ndarray      # (H, W) best NCC (-2 where none)
 
 
-@partial(jax.jit, static_argnames=("radius", "band"))
+@partial(jax.jit, static_argnames=("radius", "band", "tile"))
 def ncc_sweep_match(
     imgL: jnp.ndarray,
     imgR: jnp.ndarray,
@@ -105,6 +105,7 @@ def ncc_sweep_match(
     bound_hi: jnp.ndarray,
     radius: int,
     band: int = 0,
+    tile: int = 0,
 ) -> SweepResult:
     """Argmax-NCC match of active left pixels against target columns in
     [bound_lo, bound_hi] (absolute, inclusive, per pixel).

@@ -211,3 +211,22 @@ def test_banded_sweep_matches_unbanded(rng):
                         2, band=16)
     np.testing.assert_array_equal(np.asarray(a.disparity),
                                   np.asarray(b.disparity))
+
+
+def test_window_slots_binshift_equals_gather(rng):
+    """The gather-free window extractor is bitwise-equal to
+    take_along_axis, including clipped / fully-out-of-range starts."""
+    from reconstruction_tpu.stereo.refine import _window_slots_binshift
+    H, W, S, MINI = 37, 53, 128, 32
+    cv = jnp.asarray(rng.uniform(0, 1, (H, W, S)).astype(np.float32))
+    j0 = rng.integers(-80, S + 40, (H, W)).astype(np.int32)
+    j0[rng.uniform(size=(H, W)) < 0.05] = -(1 << 14)   # NOMATCH-style
+    j0[rng.uniform(size=(H, W)) < 0.05] = (1 << 14)
+    j0 = jnp.asarray(j0)
+    ks = jnp.arange(MINI, dtype=jnp.int32)
+    idx = j0[:, :, None] + ks[None, None, :]
+    ok = (idx >= 0) & (idx < S)
+    ref = jnp.where(
+        ok, jnp.take_along_axis(cv, jnp.clip(idx, 0, S - 1), axis=2), 0.5)
+    out = _window_slots_binshift(cv, j0, MINI, S)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
