@@ -68,7 +68,7 @@ def main():
 
     import os
     refine_scale = float(os.environ.get("RECON_BENCH_REFINE_SCALE", "1"))
-    refine_impl = os.environ.get("RECON_REFINE_IMPL", "xla")
+    refine_impl = os.environ.get("RECON_REFINE_IMPL", "auto")
 
     def one_level(state, level):
         return match_one_level(

@@ -129,6 +129,10 @@ def ncc_sweep_match(
     (`CStereoMatching.cpp:206,219`).
     """
     H, W = imgL.shape[:2]
+    if band and band < H and tile and tile < W:
+        return _ncc_sweep_match_tiled(imgL, imgR, validR, active,
+                                      bound_lo, bound_hi, radius, band,
+                                      tile)
     if band and band < H:
         return _ncc_sweep_match_banded(imgL, imgR, validR, active,
                                        bound_lo, bound_hi, radius, band)
@@ -274,6 +278,133 @@ def _ncc_sweep_match_banded(
     return SweepResult(disparity=disp, score=best_score)
 
 
+def _ncc_sweep_match_tiled(
+    imgL: jnp.ndarray,
+    imgR: jnp.ndarray,
+    validR: jnp.ndarray,
+    active: jnp.ndarray,
+    bound_lo: jnp.ndarray,
+    bound_hi: jnp.ndarray,
+    radius: int,
+    band: int,
+    tile: int,
+) -> SweepResult:
+    """2D-tiled sweep: each (band-rows x tile-cols) tile sweeps only ITS
+    OWN shift range.
+
+    Row banding alone cannot bound the work when the disparity VALUE
+    varies along x (a band inherits the full row's range); column tiles
+    localize that too, so total cost tracks the local disparity spread
+    instead of the per-row one.  Identical results to the unbanded sweep:
+    global moment maps, real-image halos for the cross box sums, the
+    same ascending-candidate argmax.
+    """
+    H, W = imgL.shape[:2]
+    if imgL.ndim == 2:
+        imgL, imgR = imgL[..., None], imgR[..., None]
+    C = imgL.shape[-1]
+    imgL = imgL.astype(jnp.float32) - 128.0
+    imgR = imgR.astype(jnp.float32) - 128.0
+    r = radius
+    momL = ncc_moments(imgL, r)
+    momR = ncc_moments(imgR, r)
+    n = momL.n
+
+    nb = -(-H // band)
+    nt = -(-W // tile)
+    Hp, Wp = nb * band, nt * tile
+
+    def pad_hw(a, fill=0.0):
+        pads = [(0, Hp - H), (0, Wp - W)] + [(0, 0)] * (a.ndim - 2)
+        return jnp.pad(a, pads, constant_values=fill)
+
+    # Per-pixel operands, tiled: (nb*nt, band, tile[, C])
+    def tiles_of(a, fill=0.0):
+        ap = pad_hw(a, fill)
+        a4 = ap.reshape(nb, band, nt, tile, *ap.shape[2:])
+        a4 = jnp.moveaxis(a4, 2, 1)             # (nb, nt, band, tile, ...)
+        return a4.reshape(nb * nt, band, tile, *ap.shape[2:])
+
+    t_act = tiles_of(active, False)
+    t_lo = tiles_of(bound_lo.astype(jnp.int32), 0)
+    t_hi = tiles_of(bound_hi.astype(jnp.int32), -1)
+    t_muL = tiles_of(momL.mean)
+    t_invL = tiles_of(momL.inv_norm, 1.0)
+
+    # Left image with a +-r halo of REAL pixels (zeros outside the image,
+    # exactly like the unbanded `shifted` zero padding).
+    imgL_h = jnp.pad(pad_hw(imgL), ((r, r), (r, r), (0, 0)))
+    rows = (jnp.arange(nb) * band)[:, None] + jnp.arange(band + 2 * r)[None, :]
+    cols = (jnp.arange(nt) * tile)[:, None] + jnp.arange(tile + 2 * r)[None, :]
+    tl = imgL_h[rows]                       # (nb, band+2r, Wp+2r, C)
+    tl = tl[:, :, cols]                     # (nb, band+2r, nt, tile+2r, C)
+    t_imgL = jnp.moveaxis(tl, 2, 1).reshape(
+        nb * nt, band + 2 * r, tile + 2 * r, C)
+
+    # Right-view operands, padded once; per (tile, shift) reads are
+    # dynamic slices at x0 + W + s (interior) / with a +-r halo (product).
+    imgR_pad = jnp.pad(pad_hw(imgR), ((r, r), (W + r, W + r), (0, 0)))
+    muR_pad = jnp.pad(pad_hw(momR.mean), ((0, 0), (W, W)))
+    invR_pad = jnp.pad(pad_hw(momR.inv_norm, 1.0), ((0, 0), (W, W)),
+                       constant_values=1.0)
+    validR_pad = jnp.pad(pad_hw(validR.astype(jnp.float32)),
+                         ((0, 0), (W, W)))
+
+    row0s = jnp.repeat(jnp.arange(nb, dtype=jnp.int32) * band, nt)
+    x0s = jnp.tile(jnp.arange(nt, dtype=jnp.int32) * tile, nb)
+    x_in_tile = jnp.arange(tile, dtype=jnp.int32)[None, :]
+
+    def tile_fn(args):
+        iL, muL, invL, act, lo, hi, row0, x0 = args
+        x_abs = x0 + x_in_tile
+        s_lo_px = jnp.where(act, lo - x_abs, jnp.int32(1 << 20))
+        s_hi_px = jnp.where(act, hi - x_abs, jnp.int32(-(1 << 20)))
+        any_act = act.any()
+        s_min = jnp.clip(jnp.where(any_act, s_lo_px.min(), 0),
+                         -(W - 1), W - 1)
+        s_max = jnp.clip(jnp.where(any_act, s_hi_px.max(), -1),
+                         -(W - 1), W - 1)
+
+        def body(s, state):
+            best_score, best_t = state
+            Rs = jax.lax.dynamic_slice(
+                imgR_pad, (row0, x0 + W + s, 0),
+                (band + 2 * r, tile + 2 * r, C))
+            cross = _box_sum((iL * Rs).sum(-1), r)[r:-r, r:-r]
+            muR_s = jax.lax.dynamic_slice(
+                muR_pad, (row0, x0 + W + s), (band, tile))
+            invR_s = jax.lax.dynamic_slice(
+                invR_pad, (row0, x0 + W + s), (band, tile))
+            vR_s = jax.lax.dynamic_slice(
+                validR_pad, (row0, x0 + W + s), (band, tile))
+            score = (cross - n * muL * muR_s) * invL * invR_s
+            t = x_abs + s
+            ok = act & (vR_s > 0.5) & (t >= lo) & (t <= hi)
+            score = jnp.where(ok, score, -2.0)
+            upd = score > best_score
+            return (jnp.where(upd, score, best_score),
+                    jnp.where(upd, t, best_t))
+
+        init = (jnp.full((band, tile), -1.0, jnp.float32),
+                jnp.full((band, tile), -1, jnp.int32))
+        return jax.lax.fori_loop(s_min, s_max + 1, body, init)
+
+    score_t, t_t = jax.lax.map(
+        tile_fn, (t_imgL, t_muL, t_invL, t_act, t_lo, t_hi, row0s, x0s))
+
+    def untile(a):
+        a4 = a.reshape(nb, nt, band, tile)
+        return jnp.moveaxis(a4, 1, 2).reshape(Hp, Wp)[:H, :W]
+
+    best_score = untile(score_t)
+    best_t = untile(t_t)
+    matched = best_t >= 0
+    x2 = jnp.arange(W, dtype=jnp.int32)[None, :]
+    disp = jnp.where(matched, (best_t - x2).astype(jnp.float32),
+                     float(NOMATCH))
+    return SweepResult(disparity=disp, score=best_score)
+
+
 def brute_force_match(
     imgL: jnp.ndarray,
     imgR: jnp.ndarray,
@@ -399,8 +530,9 @@ def guided_match(
     active = (validL & (y >= mL.YL) & (y <= mL.YR)
               & (x >= mL.XL) & (x <= mL.XR))
     band = 64 if H >= 256 else 0
+    tile = 256 if W >= 512 else 0
     return ncc_sweep_match(imgL, imgR, validR, active, lo, hi, radius,
-                           band=band).disparity
+                           band=band, tile=tile).disparity
 
 
 def rematch(
@@ -424,7 +556,9 @@ def rematch(
               & (y >= mL.YL) & (y <= mL.YR)
               & (x >= mL.XL) & (x <= mL.XR))
     band = 64 if H >= 256 else 0
+    tile = 256 if W >= 512 else 0
     res = ncc_sweep_match(imgL, imgR, validR, active,
                           bound_lo.astype(jnp.int32),
-                          bound_hi.astype(jnp.int32), radius, band=band)
+                          bound_hi.astype(jnp.int32), radius, band=band,
+                          tile=tile)
     return jnp.where(active, res.disparity, disparity)

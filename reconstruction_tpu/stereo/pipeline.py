@@ -60,10 +60,15 @@ def match_one_level(
     refine_iters: int = 30,
     median_iters: int = 1,
     s_cap: int = 128,
-    refine_impl: str = "xla",
+    refine_impl: str = "auto",
 ) -> LevelState:
     """One pyramid level for both directions (`MatchOneLayer`,
     `CStereoMatching.cpp:36-113`)."""
+    if refine_impl == "auto":
+        d = jax.devices()[0]
+        is_tpu = ("tpu" in d.platform.lower()
+                  or "tpu" in getattr(d, "device_kind", "").lower())
+        refine_impl = "pallas" if is_tpu else "xla"
     v0 = valid_mask(mask0)
     v1 = valid_mask(mask1)
     m0 = find_margin(v0, radius)

@@ -91,3 +91,43 @@ def test_mls_denoises(rng):
     r_before = np.abs(resid(pts[ok])).mean()
     r_after = np.abs(resid(sm[ok])).mean()
     assert r_after < 0.6 * r_before, (r_before, r_after)
+
+
+def test_cross_view_dedup_bucket_rules():
+    """Unit test of the documented bucket semantics (single kept,
+    same-facing duplicates -> nearest kept, opposing normals -> both,
+    out-of-mask dropped)."""
+    import jax.numpy as jnp
+    from reconstruction_tpu.cloud.dedup import DedupInputs, cross_view_dedup
+
+    H, W = 16, 16
+    # One pair: cam0 at origin looking down +z, P = K [I | 0].
+    K = np.array([[10.0, 0, 8], [0, 10, 8], [0, 0, 1]], np.float32)
+    P0 = np.hstack([K, np.zeros((3, 1), np.float32)])[None]
+
+    toward = np.array([0, 0, -1], np.float32)   # faces the camera
+    away = np.array([0, 0, 1], np.float32)
+    # pixel u = 10 * x / z + 8, v likewise in y.
+    pts = np.array([
+        [0.0, 0.0, 5.0],    # 0: bucket (8,8), alone -> kept
+        [1.0, 0.0, 5.0],    # 1: bucket (10,8), nearest, toward -> kept
+        [1.2, 0.0, 6.0],    # 2: bucket (10,8), farther, toward -> dropped
+        [0.0, 1.0, 5.0],    # 3: bucket (8,10), toward -> kept
+        [0.0, 1.2, 6.0],    # 4: bucket (8,10), away (opposes) -> kept
+        [-1.0, 0.0, 5.0],   # 5: bucket (6,8), masked out -> dropped
+    ], np.float32)
+    nrm = np.stack([toward, toward, toward, toward, away, toward])
+    masks = np.ones((1, H, W), np.float32)
+    masks[0, 8, 6] = 0.0                        # point 5's pixel
+    ctx = DedupInputs(
+        P0=jnp.asarray(P0), P1=jnp.asarray(P0),
+        centers=jnp.asarray(np.zeros((1, 3), np.float32)),
+        masks0=jnp.asarray(masks))
+
+    keep = np.asarray(cross_view_dedup(
+        jnp.asarray(pts), jnp.asarray(nrm),
+        jnp.asarray(np.ones(len(pts), bool)), ctx))
+    assert keep[0]
+    assert keep[1] and not keep[2]
+    assert keep[3] and keep[4]
+    assert not keep[5]

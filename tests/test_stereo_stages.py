@@ -230,3 +230,28 @@ def test_window_slots_binshift_equals_gather(rng):
         ok, jnp.take_along_axis(cv, jnp.clip(idx, 0, S - 1), axis=2), 0.5)
     out = _window_slots_binshift(cv, j0, MINI, S)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_tiled_sweep_matches_unbanded(rng):
+    H, W = 96, 64
+    imgL = rng.uniform(0, 255, (H, W, 3)).astype(np.float32)
+    imgR = rng.uniform(0, 255, (H, W, 3)).astype(np.float32)
+    vR = np.ones((H, W), bool)
+    act = np.zeros((H, W), bool)
+    act[4:-4, 4:-4] = True
+    lo = rng.integers(0, W // 2, (H, W)).astype(np.int32)
+    hi = lo + rng.integers(0, 8, (H, W)).astype(np.int32)
+    a = ncc_sweep_match(jnp.asarray(imgL), jnp.asarray(imgR), jnp.asarray(vR),
+                        jnp.asarray(act), jnp.asarray(lo), jnp.asarray(hi),
+                        2, band=0)
+    b = ncc_sweep_match(jnp.asarray(imgL), jnp.asarray(imgR), jnp.asarray(vR),
+                        jnp.asarray(act), jnp.asarray(lo), jnp.asarray(hi),
+                        2, band=16, tile=16)
+    np.testing.assert_array_equal(np.asarray(a.disparity),
+                                  np.asarray(b.disparity))
+    # uneven tile/band divisions
+    c = ncc_sweep_match(jnp.asarray(imgL), jnp.asarray(imgR), jnp.asarray(vR),
+                        jnp.asarray(act), jnp.asarray(lo), jnp.asarray(hi),
+                        2, band=28, tile=24)
+    np.testing.assert_array_equal(np.asarray(a.disparity),
+                                  np.asarray(c.disparity))
