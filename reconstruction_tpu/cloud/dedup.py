@@ -83,9 +83,13 @@ def cross_view_dedup(
     key = jnp.where(inb, key, npair * H * W)
 
     # Rank candidates within each bucket by distance to camera,
-    # far-to-near (`:282-296`), via sorted (key, -dist) pairs.
+    # near-to-far, via sorted (key, dist) pairs.  The reference orders
+    # candidates by distance and keeps one representative per facing
+    # segment (`:282-296`); with the NCC tie-break degenerated to
+    # nearest-wins (see docstring) the representative is the segment's
+    # nearest candidate.
     dist = dn[pair, jnp.arange(N)]
-    order = jnp.lexsort((-dist, key))
+    order = jnp.lexsort((dist, key))
     k_sorted = key[order]
     first_of_bucket = jnp.concatenate(
         [jnp.array([True]), k_sorted[1:] != k_sorted[:-1]])
@@ -93,7 +97,7 @@ def cross_view_dedup(
     idx_in_sorted = jnp.arange(N)
     seg_start = jnp.where(first_of_bucket, idx_in_sorted, 0)
     seg_start = jax.lax.cummax(seg_start, axis=0)
-    rank = idx_in_sorted - seg_start                            # 0 = farthest
+    rank = idx_in_sorted - seg_start                            # 0 = nearest
 
     # Facing sign of each candidate (toward camera = True, `:273-281`).
     facing = (score[pair, jnp.arange(N)] > 0)[order]
