@@ -22,6 +22,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class VoxelGrid(NamedTuple):
@@ -34,7 +35,7 @@ class VoxelGrid(NamedTuple):
     cell: jnp.ndarray        # scalar cell size
 
 
-_INVALID_ID = jnp.int32(2 ** 30)
+_INVALID_ID = np.int32(2 ** 30)  # plain numpy: no backend init at import
 
 
 @jax.jit

@@ -14,8 +14,9 @@ from typing import List
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_KERNEL = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], jnp.float32) / 16.0
+_KERNEL = np.array([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0  # numpy: no backend init at import
 
 
 @jax.jit

@@ -29,12 +29,13 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from reconstruction_tpu.config import NOMATCH
 from reconstruction_tpu.stereo.margins import Margins, inner_box
 from reconstruction_tpu.stereo.ncc import shifted
 
-_BIG = jnp.float32(1e9)
+_BIG = np.float32(1e9)  # plain numpy: no backend init at import
 
 
 # ---------------------------------------------------------------------------
