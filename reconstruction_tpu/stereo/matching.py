@@ -76,7 +76,8 @@ def _shift_x(a: jnp.ndarray, s: jnp.ndarray, W: int, fill: float = 0.0) -> jnp.n
     """out[..., x] = a[..., x+s] for traced s, zero fill out of range."""
     pad = [(0, 0)] * (a.ndim - 1) + [(W, W)]
     ap = jnp.pad(a, pad, constant_values=fill)
-    start = [0] * (a.ndim - 1) + [W + s]
+    off = W + s
+    start = [jnp.zeros((), off.dtype)] * (a.ndim - 1) + [off]
     return jax.lax.dynamic_slice(ap, start, a.shape)
 
 
@@ -84,7 +85,8 @@ def _shift_x_pre(ap: jnp.ndarray, s: jnp.ndarray, W: int,
                  out_w: int) -> jnp.ndarray:
     """dynamic_slice form of _shift_x for a PRE-PADDED array (padding
     hoisted out of sweep loops so no per-iteration copies)."""
-    start = [0] * (ap.ndim - 1) + [W + s]
+    off = W + s
+    start = [jnp.zeros((), off.dtype)] * (ap.ndim - 1) + [off]
     shape = list(ap.shape)
     shape[-1] = out_w
     return jax.lax.dynamic_slice(ap, start, shape)

@@ -35,13 +35,14 @@ from reconstruction_tpu.stereo.matching import ncc_moments, _shift_x, _shift_x_p
 from reconstruction_tpu.stereo.ncc import shifted
 
 
-@partial(jax.jit, static_argnames=("s_cap", "band"))
+@partial(jax.jit, static_argnames=("s_cap", "band", "drift"))
 def _banded_cost_volume(
     imgL: jnp.ndarray,
     imgR: jnp.ndarray,
     disp: jnp.ndarray,
     s_cap: int,
     band: int,
+    drift: int = 16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """xi(y, x, j) = (1 - NCC3x3(x, x + base(y) + j)) / 2 for j < s_cap.
 
@@ -54,11 +55,12 @@ def _banded_cost_volume(
     Returns (cv (H, W, s_cap), base (H,)).
     """
     H, W = disp.shape
+    dt = disp.dtype
     if imgL.ndim == 2:
         imgL, imgR = imgL[..., None], imgR[..., None]
     C = imgL.shape[-1]
-    imgL = imgL.astype(jnp.float32) - 128.0
-    imgR = imgR.astype(jnp.float32) - 128.0
+    imgL = imgL.astype(dt) - 128.0
+    imgR = imgR.astype(dt) - 128.0
 
     nb = -(-H // band)
     Hp = nb * band
@@ -72,7 +74,7 @@ def _banded_cost_volume(
 
     dp = jnp.pad(disp, ((0, Hp - H), (0, 0)), constant_values=float(NOMATCH))
     dbands = dp.reshape(nb, band, W)
-    big = jnp.float32(1e9)
+    big = jnp.asarray(1e9, dt)
     vb = dbands != NOMATCH
     bmin = jnp.min(jnp.where(vb, dbands, big), axis=(1, 2))
     bmax = jnp.max(jnp.where(vb, dbands, -big), axis=(1, 2))
@@ -80,10 +82,9 @@ def _banded_cost_volume(
     mid = jnp.where(has, (bmin + bmax) * 0.5, 0.0)
     base_b = jnp.round(mid).astype(jnp.int32) - s_cap // 2      # (nb,)
     # Fill only the band's actual disparity range + drift margin (the
-    # refinement nudges d by <= 0.5/iteration toward neighbors, so +-16
-    # covers realistic drift); slots outside stay at the neutral 0.5 the
-    # same way out-of-window candidates do.
-    drift = 16
+    # refinement nudges d by <= 0.5/iteration toward neighbors, so the
+    # default +-16 covers realistic drift); slots outside stay at the
+    # neutral 0.5 the same way out-of-window candidates do.
     lo_need = jnp.round(bmin).astype(jnp.int32) - 2 - drift
     hi_need = jnp.round(bmax).astype(jnp.int32) + 3 + drift
     lo_b = jnp.maximum(base_b, lo_need)
@@ -112,10 +113,12 @@ def _banded_cost_volume(
             ncc = (cross - n * momL.mean * muR_s) * momL.inv_norm * invR_s
             xi = (1.0 - ncc) * 0.5
             xi = xi[1 : band + 1]  # strip halo rows
+            slot = s - base
+            zero = jnp.zeros((), slot.dtype)
             return jax.lax.dynamic_update_slice(
-                cv, xi[:, :, None], (0, 0, s - base))
+                cv, xi[:, :, None], (zero, zero, slot))
 
-        cv0 = jnp.full((band, W, s_cap), 0.5, jnp.float32)
+        cv0 = jnp.full((band, W, s_cap), 0.5, dt)
         return jax.lax.fori_loop(lo, hi + 1, body, cv0)
 
     cvb = jax.lax.map(band_fn, (bandL, bandR, base_b, lo_b, hi_b))
@@ -125,7 +128,7 @@ def _banded_cost_volume(
 
 
 @partial(jax.jit, static_argnames=("iterations", "s_cap", "band",
-                                   "use_minicv"))
+                                   "use_minicv", "drift", "recenter_every"))
 def disparity_refine(
     disp: jnp.ndarray,
     imgL: jnp.ndarray,
@@ -136,28 +139,44 @@ def disparity_refine(
     s_cap: int = 128,
     band: int = 64,
     use_minicv: bool = True,
+    drift: int = 16,
+    recenter_every: int = 0,
 ) -> jnp.ndarray:
     """Run the full refinement loop; returns float32 disparity.
 
     NOMATCH pixels and pixels outside the (margin-inset) interior never
     change (`CStereoMatching.cpp:595,611-613`).
 
-    use_minicv=True (default) runs the cost lookups through a periodically
-    re-centered 16-slot mini volume with branch-free selects instead of
+    use_minicv=True (default) runs the cost lookups through a 32-slot
+    per-pixel mini volume with branch-free selects instead of
     per-iteration minor-axis gathers — TPU gathers on the minor dimension
     serialize (~105 ms/sweep measured at 1920x1280 vs ~1 ms of actual
     traffic).  Semantics verified equal (tests/test_ops_pallas.py and the
     oracle suite run both paths).
+
+    Drift budget: the reference recomputes the 3x3 NCC at the CURRENT
+    disparity every iteration (`CStereoMatching.cpp:624-630`), so its
+    drift is unbounded.  Here costs live in a precomputed volume whose
+    rows are filled over [round(band min)-2-drift, round(band max)+3+drift]
+    and, with use_minicv, read through a window covering ~+-12 slots of
+    the pixel's anchor.  ``recenter_every=k`` re-extracts the window from
+    the banded volume at the current anchors every k iterations, raising
+    the usable budget to the banded volume's own ``drift`` margin
+    (property-tested against the full-recompute oracle in
+    tests/test_stereo_stages.py).
     """
     H, W = disp.shape
     band = min(band, H)
-    disp = disp.astype(jnp.float32)
-    cv, base = _banded_cost_volume(imgL, imgR, disp, s_cap, band)
+    # dtype follows the input disparity: float32 in production, float64
+    # under jax_enable_x64 for oracle-exact verification runs.
+    disp = disp.astype(jnp.promote_types(disp.dtype, jnp.float32))
+    cv, base = _banded_cost_volume(imgL, imgR, disp, s_cap, band,
+                                   drift=drift)
     inner = inner_box(m, H, W, inset=1)
-    ws = jnp.float32(ws)
+    ws = jnp.asarray(ws, disp.dtype)
     if use_minicv:
         return _refine_minicv(disp, cv, base, inner, m, iterations, ws,
-                              s_cap)
+                              s_cap, recenter_every=recenter_every)
 
     def one_iter(d, _):
         valid = d != NOMATCH
@@ -269,31 +288,40 @@ def _refine_minicv(
     ws: jnp.ndarray,
     s_cap: int,
     mini: int = 32,
+    recenter_every: int = 0,
 ) -> jnp.ndarray:
     """Gather-free refinement: one 32-slot per-pixel cost window.
 
     TPU minor-axis gathers serialize, so NO take_along_axis anywhere:
-    the per-pixel window (centered on the initial anchor) is built once
-    by fused equality-selects over the banded volume's slot axis, and
-    every iteration's three xi lookups are branch-free selects over the
-    (mini, H, W) window.  Drift beyond +-(mini/2 - 4) of the initial
-    anchor reads the neutral 0.5 — consistent with the banded volume's
-    own fill margin (stereo/refine._banded_cost_volume drift=16).
+    the per-pixel window (centered on the anchor at extraction time) is
+    built by fused conditional-shift selects over the banded volume's
+    slot axis, and every iteration's three xi lookups are branch-free
+    selects over the (mini, H, W) window.  Drift beyond +-(mini/2 - 4)
+    of the window anchor reads the neutral 0.5 — consistent with the
+    banded volume's own fill margin.  ``recenter_every=k`` re-extracts
+    the window at the current anchors every k iterations so sustained
+    drift keeps reading real costs (bounded only by the banded volume's
+    ``drift`` margin).
     """
     H, W = disp.shape
     center = mini // 2
-    d0 = disp
-    c00 = jnp.trunc(d0 - 1.5)
-    jref = c00  # initial anchor per pixel
-    jbig0 = (c00.astype(jnp.int32) + 2) - base[:, None]  # big slot of center
 
-    # Window build: 32 consecutive slots per pixel via the gather-free
-    # binary-shift extractor (a take_along_axis here measured ~1.8 s at
-    # 1920x1280 — it was ~90% of the whole refine call).
-    cvm = _window_slots_binshift(cv, jbig0 - center, mini, s_cap)
-    cvm = jnp.moveaxis(cvm, -1, 0)  # (mini, H, W)
+    def extract_window(d):
+        c00 = jnp.trunc(d - 1.5)
+        jbig0 = (c00.astype(jnp.int32) + 2) - base[:, None]
+        # Gather-free binary-shift extractor (a take_along_axis here
+        # measured ~1.8 s at 1920x1280 — ~90% of the whole refine call).
+        cvm = _window_slots_binshift(cv, jbig0 - center, mini, s_cap)
+        return c00, jnp.moveaxis(cvm, -1, 0)  # (mini, H, W)
 
-    def one_iter(d, _):
+    # NOTE: the window MUST flow through the scan carry, not the closure:
+    # lax.scan caches the traced body jaxpr by function identity, so a
+    # closure-captured (jref, cvm) from the first chunk would silently be
+    # reused by every later chunk, disabling recentering (caught by
+    # tests/test_stereo_stages.py::test_refine_multi_iteration_matches_
+    # full_recompute_oracle).
+    def one_iter(carry, _):
+        d, jref, cvm = carry
         valid = d != NOMATCH
         dE = shifted(d, 0, 1)
         dW = shifted(d, 0, -1)
@@ -302,11 +330,11 @@ def _refine_minicv(
         mode_x = (dE != NOMATCH) & (dW != NOMATCH)
         mode_y = (dS != NOMATCH) & (dN != NOMATCH)
         c0i = jnp.trunc(d - 1.5)
-        j = (jnp.float32(center) + (c0i - jref)).astype(jnp.int32)
+        j = (c0i - jref).astype(jnp.int32) + center
         xs = []
         for off in (-1, 0, 1):
             jj = j + off
-            acc = jnp.full(d.shape, 0.5, jnp.float32)
+            acc = jnp.full(d.shape, 0.5, d.dtype)
             for k in range(mini):
                 acc = jnp.where(jj == k, cvm[k], acc)
             xs.append(acc)
@@ -334,7 +362,16 @@ def _refine_minicv(
                                   (dN + dS) * 0.5))
         blended = (pdp * pwp + ws * dsv) / (pwp + ws)
         new_d = jnp.where(mode_x | mode_y, blended, d)
-        return jnp.where(valid & inner, new_d, d), None
+        return (jnp.where(valid & inner, new_d, d), jref, cvm), None
 
-    out, _ = jax.lax.scan(one_iter, d0, None, length=iterations)
-    return out
+    d = disp
+    jref, cvm = extract_window(d)
+    chunk = recenter_every if recenter_every > 0 else iterations
+    done = 0
+    while done < iterations:
+        if done > 0:
+            jref, cvm = extract_window(d)
+        n = min(chunk, iterations - done)
+        (d, _, _), _ = jax.lax.scan(one_iter, (d, jref, cvm), None, length=n)
+        done += n
+    return d

@@ -325,3 +325,15 @@ def refine_iteration(disp, imgL, imgR, m, ws):
                     ds = (wx * (dE + dW_) + wy * (dN + dS)) / (2 * (wx + wy))
                 out[y, x] = (pdp * pwp + ws * ds) / (pwp + ws)
     return out
+
+
+def refine_full(disp, imgL, imgR, m, ws, iterations):
+    """The complete reference refinement loop (`CStereoMatching.cpp:
+    590-679`): every iteration recomputes the 3x3 NCC at the CURRENT
+    disparity (`:624-630`), so drift is unbounded — this is the oracle
+    the precomputed-volume implementation must match for as long as the
+    realized drift stays inside its filled cost window."""
+    out = np.asarray(disp, np.float64).copy()
+    for _ in range(iterations):
+        out = refine_iteration(out, imgL, imgR, m, ws)
+    return out

@@ -255,3 +255,140 @@ def test_tiled_sweep_matches_unbanded(rng):
                         2, band=28, tile=24)
     np.testing.assert_array_equal(np.asarray(a.disparity),
                                   np.asarray(c.disparity))
+
+
+def _drift_scene(rng, H=12, W=120, d_true=20, wavelength=60.0):
+    """Sinusoidal texture (wavelength > 2*d_true) whose true disparity is
+    +d_true but whose initial disparity is 0: the 3x3 NCC of a sinusoid
+    is ~cos of the phase offset, a SINGLE smooth basin over the whole
+    search range, so the photometric term pulls ~0.4 px/iteration toward
+    the true match for dozens of sweeps — deterministic sustained drift
+    past the static +-14-slot mini-window budget (a rough random texture
+    instead makes pixels chase spurious local minima and amplifies
+    f32-vs-f64 tie flips chaotically)."""
+    x = np.arange(W, dtype=np.float64)
+    rowL = 128.0 + 100.0 * np.sin(2 * np.pi * x / wavelength)
+    rowR = 128.0 + 100.0 * np.sin(2 * np.pi * (x - d_true) / wavelength)
+    imgL = np.repeat(rowL[None, :, None], H, 0).repeat(3, 2).astype(np.float32)
+    imgR = np.repeat(rowR[None, :, None], H, 0).repeat(3, 2).astype(np.float32)
+    # Valid region keeps every drifted 3x3 NCC window interior (the
+    # oracle zero-pads outside the image; the shift path pads with gray).
+    vL = np.zeros((H, W), bool)
+    vL[2:-2, 18:W - 25] = True
+    # Matched pixels start one ring INSIDE the margin box: the ring
+    # pixels are NOMATCH (excluded from the smoothness term) rather than
+    # frozen zeros that would drag the drifting interior back.
+    disp = np.full((H, W), NOMATCH, np.float64)
+    disp[3:-3, 19:W - 26] = 0.0
+    return imgL, imgR, vL, disp
+
+
+def test_refine_multi_iteration_matches_full_recompute_oracle(rng):
+    """260 refinement sweeps on a scene whose disparity legitimately
+    drifts ~20 px, vs the sequential oracle that recomputes NCC at the
+    current disparity every iteration (`CStereoMatching.cpp:624-679`).
+
+    The exact comparison runs in float64 (`disparity_refine` follows the
+    input dtype): the slow drift dynamics amplify per-sweep cost noise
+    ~5e4x over the run, so f32-vs-f64 comparisons measure dtype phase
+    lag, not window semantics; in f64 both sides' noise floor (~1e-10)
+    stays invisible.  The production f32 run is then checked where the
+    dynamics have converged (fixed points are dtype-stable).
+    """
+    import jax
+
+    imgL, imgR, vL, disp = _drift_scene(rng)
+    mo, mj = _margins(vL)
+    iters, ws, d_true = 260, 0.01, 20.0
+    ref = oracle.refine_full(disp, imgL.astype(np.float64),
+                             imgR.astype(np.float64), mo, ws, iters)
+
+    # The scene must genuinely drift beyond the static mini-window
+    # budget (32 slots centered on the initial anchor serve one-sided
+    # drift up to ~+14 slots; beyond that reads go stale).
+    valid = disp != NOMATCH
+    drift = np.abs(ref - disp)[valid]
+    assert drift.max() > 15.5, drift.max()
+
+    # recenter_every=1 re-extracts the window at the current anchor every
+    # sweep: each xi lookup then reads exactly the cost the reference
+    # recomputes, no matter how far d has drifted (a weak-texture pixel
+    # can jump toward the neighbor average by many slots in ONE
+    # iteration, so k=1 is the verification-exact mode).
+    with jax.enable_x64():
+        ours64 = np.asarray(disparity_refine(
+            jnp.asarray(disp, jnp.float64), jnp.asarray(imgL, jnp.float64),
+            jnp.asarray(imgR, jnp.float64), mj, iterations=iters, ws=ws,
+            s_cap=128, band=8, drift=32, recenter_every=1))
+    np.testing.assert_array_equal(ours64[~valid], ref[~valid])
+    err = np.abs(ours64 - ref)[valid]
+    assert err.max() < 1e-4, (err.max(), np.quantile(err, 0.99))
+
+    # Drift-budget accounting: total realized drift stays inside the
+    # banded volume's filled margin (drift=32).
+    realized = np.abs(ours64 - disp)[valid]
+    assert realized.max() < 32 + 2, realized.max()
+
+    # Production f32 run: the trajectory statistics must track the
+    # oracle (pointwise f32-vs-f64 comparison only measures phase lag on
+    # this still-sliding field — the f64 equality above is the exact
+    # semantic check).
+    ours32 = np.asarray(disparity_refine(
+        jnp.asarray(disp, jnp.float32), jnp.asarray(imgL), jnp.asarray(imgR),
+        mj, iterations=iters, ws=ws, s_cap=128, band=8,
+        drift=32, recenter_every=1))
+    drift32 = np.abs(ours32 - disp)[valid]
+    assert abs(np.median(drift32) - np.median(drift)) < 1.0
+    assert abs(drift32.max() - drift.max()) < 2.0
+
+    # Without recentering the window goes stale where drift exceeds its
+    # ~+14 slots — quantifying why recenter_every exists.
+    with jax.enable_x64():
+        stale = np.asarray(disparity_refine(
+            jnp.asarray(disp, jnp.float64), jnp.asarray(imgL, jnp.float64),
+            jnp.asarray(imgR, jnp.float64), mj, iterations=iters, ws=ws,
+            s_cap=128, band=8, drift=32, recenter_every=0))
+    assert np.abs(stale - ref)[valid].max() > 1.0
+
+
+def test_refine_multi_iteration_realistic_scene_vs_oracle(rng):
+    """Level-3-scale iteration counts on a realistic textured scene:
+    drift stays small and the default (no recenter) path matches the
+    full-recompute oracle.  Runs in f64 and in two regimes, because the
+    refinement map is CHAOTIC at pixels that oscillate around the
+    discrete-argmin tie: there, summation-order noise (box-sum NCC vs
+    the oracle's explicit dot, ~1e-15 in f64) amplifies ~1.4x per sweep
+    — any arithmetic reordering diverges pointwise eventually (the
+    reference's own OpenMP reduction order would too).  So: exact
+    equality at 60 sweeps (amplification still below 1e-8), aggregate
+    equality at the full 120 (chaotic sites are isolated pixels)."""
+    import jax
+
+    imgL, imgR, vL, _, disp = _random_scene(rng, H=24, W=40, hole_p=0.1)
+    disp = np.where(disp == NOMATCH, NOMATCH,
+                    np.clip(disp, -2, 2)).astype(np.float64)
+    mo, mj = _margins(vL)
+    valid = disp != NOMATCH
+
+    def run(iters):
+        with jax.enable_x64():
+            return np.asarray(disparity_refine(
+                jnp.asarray(disp, jnp.float64), jnp.asarray(imgL, jnp.float64),
+                jnp.asarray(imgR, jnp.float64), mj, iterations=iters,
+                ws=0.03, s_cap=32, band=8))
+
+    ref60 = oracle.refine_full(disp, imgL.astype(np.float64),
+                               imgR.astype(np.float64), mo, 0.03, 60)
+    ours60 = run(60)
+    np.testing.assert_array_equal(ours60[~valid], ref60[~valid])
+    err60 = np.abs(ours60 - ref60)[valid]
+    assert err60.max() < 1e-6, (err60.max(), np.quantile(err60, 0.99))
+
+    ref120 = oracle.refine_full(ref60, imgL.astype(np.float64),
+                                imgR.astype(np.float64), mo, 0.03, 60)
+    ours120 = run(120)
+    err120 = np.abs(ours120 - ref120)[valid]
+    assert np.median(err120) < 1e-6
+    assert np.quantile(err120, 0.75) < 1e-3
+    assert (err120 > 0.05).mean() < 0.10, (err120.max(),
+                                           (err120 > 0.05).mean())
