@@ -327,6 +327,73 @@ def refine_iteration(disp, imgL, imgR, m, ws):
     return out
 
 
+def dedup(points, normals, valid, P0, centers, masks0, cap=4):
+    """Sequential re-expression of the reference cross-view dedup
+    (`CCloudOptimization.cpp:152-346`): per-point best-facing pair
+    assignment (`:160-176`), pixel-bucket projection (`:178-193`), and
+    per-bucket candidate resolution (`:199-338`), with the framework's
+    documented deviations applied (dedup.py docstring):
+
+      * buckets span the full image (reference crops to the mask margin
+        box, `:181-186`);
+      * best-facing uses a true argmax (reference's FLT_MIN init picks
+        pair 0 when every score is negative, `:165`);
+      * candidates are ordered near-to-far and one representative -- the
+        NEAREST -- is kept per facing-direction run (the reference sorts
+        far-to-near and, because its NCC windows are read at the same
+        pixel for every candidate (`:254,322`), keeps the first
+        mask-eligible one; its last run also always drops the final
+        (nearest) candidate, `:303-338`);
+      * at most ``cap`` candidates per bucket are examined (reference:
+        unbounded).
+
+    Returns the boolean keep mask.
+    """
+    npair, H, W = masks0.shape
+    N = len(points)
+    keep = np.zeros(N, bool)
+    buckets = {}
+    pair_of = np.zeros(N, np.int64)
+    facing_of = np.zeros(N, bool)
+    dist_of = np.zeros(N, np.float64)
+    for i in range(N):
+        if not valid[i]:
+            continue
+        # Best-facing pair (`:160-176`).
+        best, pj = -np.inf, 0
+        for j in range(npair):
+            d = centers[j] - points[i]
+            s = float(normals[i] @ d) / max(float(np.linalg.norm(d)), 1e-9)
+            if s > best:
+                best, pj = s, j
+        pair_of[i] = pj
+        # Facing flag: normal points toward the camera (`:273-281`
+        # computes direct = n.(p - C) < 0, i.e. the same sign test).
+        facing_of[i] = best > 0
+        dist_of[i] = float(np.linalg.norm(centers[pj] - points[i]))
+        # Project into the pair's cam0 (`:178-186`).
+        ph = P0[pj] @ np.append(points[i], 1.0)
+        z = ph[2]
+        if z <= 0:
+            continue
+        u = int(np.round(ph[0] / z))
+        v = int(np.round(ph[1] / z))
+        if not (0 <= u < W and 0 <= v < H):
+            continue
+        if masks0[pj, v, u] <= 0.5:
+            continue
+        buckets.setdefault((pj, v, u), []).append(i)
+    for cands in buckets.values():
+        # Near-to-far; ties broken by insertion (point-index) order.
+        cands = sorted(cands, key=lambda i: dist_of[i])
+        for rank, i in enumerate(cands):
+            if rank == 0:
+                keep[i] = True
+            elif rank < cap and facing_of[i] != facing_of[cands[rank - 1]]:
+                keep[i] = True
+    return keep & valid
+
+
 def refine_full(disp, imgL, imgR, m, ws, iterations):
     """The complete reference refinement loop (`CStereoMatching.cpp:
     590-679`): every iteration recomputes the 3x3 NCC at the CURRENT

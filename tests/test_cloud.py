@@ -131,3 +131,49 @@ def test_cross_view_dedup_bucket_rules():
     assert keep[1] and not keep[2]
     assert keep[3] and keep[4]
     assert not keep[5]
+
+
+def test_cross_view_dedup_vs_oracle(rng):
+    """Property test: the vectorized bucket resolution equals the
+    sequential oracle re-expression of `CCloudOptimization.cpp:152-346`
+    (with the documented deviations, see oracle.dedup) on random clouds
+    observed by multiple camera pairs."""
+    from reconstruction_tpu.cloud.dedup import DedupInputs, cross_view_dedup
+    import oracle
+
+    H, W = 24, 24
+    npair = 3
+    K = np.array([[6.0, 0, 12], [0, 6, 12], [0, 0, 1]], np.float32)
+    # Cameras on a circle looking at the origin.
+    P0s, centers = [], []
+    for j in range(npair):
+        ang = 2 * np.pi * j / npair
+        C = np.array([8 * np.sin(ang), 0.5 * j, 8 * np.cos(ang)], np.float32)
+        z = -C / np.linalg.norm(C)                       # look at origin
+        x = np.cross(np.array([0, 1, 0], np.float32), z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z])
+        t = -R @ C
+        P0s.append(K @ np.hstack([R, t[:, None]]))
+        centers.append(C)
+    P0 = np.stack(P0s).astype(np.float32)
+    centers = np.stack(centers).astype(np.float32)
+
+    for trial in range(4):
+        N = 400
+        pts = rng.uniform(-2, 2, size=(N, 3)).astype(np.float32)
+        nrm = rng.normal(size=(N, 3)).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+        valid = rng.uniform(size=N) > 0.1
+        masks = (rng.uniform(size=(npair, H, W)) > 0.2).astype(np.float32)
+
+        ctx = DedupInputs(P0=jnp.asarray(P0), P1=jnp.asarray(P0),
+                          centers=jnp.asarray(centers),
+                          masks0=jnp.asarray(masks))
+        got = np.asarray(cross_view_dedup(
+            jnp.asarray(pts), jnp.asarray(nrm), jnp.asarray(valid), ctx))
+        want = oracle.dedup(pts.astype(np.float64), nrm.astype(np.float64),
+                            valid, P0.astype(np.float64),
+                            centers.astype(np.float64), masks)
+        assert (got == want).all(), (trial, np.nonzero(got != want))
