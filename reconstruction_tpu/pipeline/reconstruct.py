@@ -166,17 +166,25 @@ def reconstruct(
                 os.makedirs(artifact_dir, exist_ok=True)
                 write_ply(os.path.join(artifact_dir, f"cloud{pi}.ply"),
                           xyz, colors=col, color_order="bgr")
+                img0 = _as_working_image(cfg, pin, res, 0)
+                img1 = _as_working_image(cfg, pin, res, 1)
+                # Rectified-image dumps, `<pair>_<camID>.jpg` like the
+                # reference (`CStereoMatching.cpp:159-166`).
+                from reconstruction_tpu.io.images import imwrite
+                for side, img in ((0, img0), (1, img1)):
+                    cam_id = cfg.cam_pairs[pi][side]
+                    imwrite(os.path.join(artifact_dir,
+                                         f"{pi}_{cam_id}.jpg"), img)
+                # Per-pair Poisson + trim + per-camera recolor scans
+                # (`CCloudOptimization.cpp:125-143`).  NOT best-effort: a
+                # broken per-pair mesh path must fail loudly
+                # (tests/test_full_pipeline.py asserts the artifacts).
                 from reconstruction_tpu.pipeline.scan_mesh import pair_scan_mesh
-                try:
-                    pair_scan_mesh(
-                        cfg, xyz, nrm, pi,
-                        res.rectification.P1_world,
-                        res.rectification.P2_world,
-                        _as_working_image(cfg, pin, res, 0),
-                        _as_working_image(cfg, pin, res, 1),
-                        out_dir=artifact_dir)
-                except Exception as e:  # per-pair scans are best-effort
-                    log.warning("pair %d scan mesh failed: %s", pi, e)
+                pair_scan_mesh(
+                    cfg, xyz, nrm, pi,
+                    res.rectification.P1_world,
+                    res.rectification.P2_world,
+                    img0, img1, out_dir=artifact_dir)
             if store:
                 store.save("pair_cloud", pi,
                            xyz=xyz, nrm=nrm, col=col,

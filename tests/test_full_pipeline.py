@@ -17,6 +17,7 @@ def recon(tmp_path_factory):
         pyramid_levels=3,
         lowest_level_size=(80, 60),
         cam_pairs=((0, 1), (2, 3)),
+        isoutput=True,
     )
     cams, imgs, masks = make_stereo_scene(
         image_size=(320, 240), span_deg=24.0, num_cameras=4)
@@ -27,8 +28,10 @@ def recon(tmp_path_factory):
             K0=np.asarray(cams[a].K), Rt0=np.asarray(cams[a].Rt),
             K1=np.asarray(cams[b].K), Rt1=np.asarray(cams[b].Rt)))
     out = str(tmp_path_factory.mktemp("out") / "mesh.ply")
-    r = reconstruct(cfg, pairs, output_path=out)
+    art = str(tmp_path_factory.mktemp("tmp_artifacts"))
+    r = reconstruct(cfg, pairs, output_path=out, artifact_dir=art)
     r.output_path = out
+    r.artifact_dir = art
     return r
 
 
@@ -60,3 +63,30 @@ def test_output_ply_readable(recon):
     data = read_ply(recon.output_path)
     assert len(data.xyz) == len(recon.vertices)
     assert data.faces is not None and len(data.faces) == len(recon.faces)
+
+
+def test_per_pair_artifacts(recon):
+    """isoutput artifact parity: per-pair filtered cloud `cloud<i>.ply`
+    (`CStereoMatching.cpp:723-757`), per-camera recolored scan meshes
+    `color_<i>_{0,1}.ply` (`CCloudOptimization.cpp:127-143`), and the
+    rectified-image dumps `<pair>_<camID>.jpg` (`CStereoMatching.cpp:
+    159-166`).  All must exist, parse, and be nonempty — the scan-mesh
+    path is NOT fire-and-forget."""
+    import os
+    from reconstruction_tpu.io.ply import read_ply
+
+    cam_pairs = ((0, 1), (2, 3))
+    for pi, (a, b) in enumerate(cam_pairs):
+        cloud = read_ply(os.path.join(recon.artifact_dir, f"cloud{pi}.ply"))
+        assert len(cloud.xyz) > 500, (pi, len(cloud.xyz))
+        assert cloud.colors is not None
+        for side in (0, 1):
+            scan = read_ply(os.path.join(recon.artifact_dir,
+                                         f"color_{pi}_{side}.ply"))
+            assert len(scan.xyz) > 100, (pi, side, len(scan.xyz))
+            assert scan.faces is not None and len(scan.faces) > 100
+            assert scan.colors is not None and scan.colors.std() > 1.0
+        for cam_id in (a, b):
+            path = os.path.join(recon.artifact_dir, f"{pi}_{cam_id}.jpg")
+            assert os.path.exists(path), path
+            assert os.path.getsize(path) > 1000
