@@ -105,12 +105,13 @@ def reconstruct_video(
     rel: List[np.ndarray] = []
     anchors: List[np.ndarray] = []
     meshes = []
+    K = Rt = None
     for fi in range(num_frames):
         pairs = frame_loader(fi)
         anchor_img = pairs[0].image0.mean(-1)
+        K = pairs[0].K0
+        Rt = pairs[0].Rt0
         if anchors:
-            K = pairs[0].K0
-            Rt = pairs[0].Rt0
             rel.append(_estimate_relative_pose(
                 anchors[-1], anchor_img, K, Rt, depth_hint))
         anchors.append(anchor_img)
@@ -128,10 +129,18 @@ def reconstruct_video(
         edges.append([i, i + 1])
         Z.append(np.linalg.inv(T_init[i]) @ T_init[i + 1])
     if loop_closure_stride:
+        # Loop closures are INDEPENDENT measurements: re-match features
+        # between the two anchor frames directly (a closure derived from
+        # the integrated chain would carry no new information and could
+        # never correct drift).  M is the measured i->j rig motion in the
+        # same convention as the per-step estimates (T_j ~ M @ T_i), so
+        # the edge measurement mirrors the consecutive-edge construction.
         for i in range(0, N - loop_closure_stride, loop_closure_stride):
             j = i + loop_closure_stride
+            M = _estimate_relative_pose(anchors[i], anchors[j], K, Rt,
+                                        depth_hint)
             edges.append([i, j])
-            Z.append(np.linalg.inv(T_init[i]) @ T_init[j])
+            Z.append(np.linalg.inv(T_init[i]) @ M @ T_init[i])
     if len(edges) >= 1 and N >= 2:
         T_opt, _ = pose_graph_optimize(
             jnp.asarray(np.asarray(edges, np.int32)),
