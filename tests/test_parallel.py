@@ -134,3 +134,42 @@ def test_distributed_splat_matches_single():
                  jnp.ones(len(allp)), jnp.ones(len(allp)))
     np.testing.assert_allclose(np.asarray(V), np.asarray(Vr), atol=1e-4)
     np.testing.assert_allclose(np.asarray(D), np.asarray(Dr), atol=1e-4)
+
+
+def test_poisson_vcycle_sharded_matches_dense():
+    """Z-plane-sharded multigrid == the dense V-cycle bit-for-bit-ish
+    (same Jacobi/restrict/prolong arithmetic, halo exchange replacing
+    global shifts), and it actually solves: residual drops >100x."""
+    from reconstruction_tpu.parallel.poisson_sharded import (
+        poisson_vcycle_sharded)
+    from reconstruction_tpu.surface.poisson import (
+        _vcycle, _laplacian)
+
+    rng = np.random.default_rng(11)
+    R = 32
+    # A smooth zero-mean rhs (a dipole pair) + nonuniform screen.
+    f = np.zeros((R, R, R), np.float32)
+    f[8, 8, 8] = 1.0
+    f[24, 20, 16] = -1.0
+    screen = (0.1 * rng.uniform(size=(R, R, R))).astype(np.float32)
+
+    cycles, levels, pre, post = 6, 2, 2, 2
+
+    def dense():
+        x = jnp.zeros((R, R, R), jnp.float32)
+        for _ in range(cycles):
+            x = _vcycle(x, jnp.asarray(f), jnp.asarray(screen),
+                        levels, pre, post)
+        return np.asarray(x)
+
+    mesh = make_mesh(jax.devices()[:4], frame=1, pair=1, tile=4)
+    got = np.asarray(poisson_vcycle_sharded(
+        mesh, jnp.asarray(f), jnp.asarray(screen),
+        levels=levels, cycles=cycles, pre=pre, post=post))
+    want = dense()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    # And it converges on the screened system.
+    res = np.asarray(_laplacian(jnp.asarray(got))) - screen * got - f
+    res0 = np.linalg.norm(f)
+    assert np.linalg.norm(res) < res0 / 100.0, np.linalg.norm(res) / res0
