@@ -40,14 +40,40 @@ def initialize_distributed(
              process_id, num_processes, len(jax.devices()))
 
 
+def factor_pod(
+    n_devices: int,
+    n_local: int,
+    frames_per_pod: Optional[int] = None,
+) -> tuple:
+    """(frame, pair, tile) factoring of n_devices.
+
+    Invariants (tests/test_parallel.py::test_factor_pod_*):
+      * frame * pair * tile == n_devices always (no dropped devices);
+      * the frame axis defaults to the host count and is clamped DOWN to
+        the largest divisor of n_devices <= the request, so uneven
+        requests degrade instead of asserting;
+      * frame == n_hosts keeps every frame row process-aligned (the DCN
+        axis) when hosts are homogeneous — per-host device counts on TPU
+        pods are uniform, and the multihost test asserts the alignment.
+    """
+    n = max(n_devices, 1)
+    n_hosts = max(n // max(n_local, 1), 1)
+    frame = max(min(frames_per_pod or n_hosts, n), 1)
+    while n % frame:
+        frame -= 1  # largest feasible divisor <= the request
+    per_frame = n // frame
+    tile = 2 if per_frame % 2 == 0 and per_frame > 1 else 1
+    pair = per_frame // tile
+    return frame, pair, tile
+
+
 def make_pod_mesh(frames_per_pod: Optional[int] = None):
     """Mesh over ALL global devices: frame axis spans hosts (DCN),
     pair/tile axes stay intra-host (ICI)."""
     devices = jax.devices()
-    n_local = len(jax.local_devices())
-    n_hosts = max(len(devices) // max(n_local, 1), 1)
-    frame = frames_per_pod or n_hosts
-    per_frame = len(devices) // frame
-    tile = 2 if per_frame % 2 == 0 and per_frame > 1 else 1
-    pair = per_frame // tile
+    frame, pair, tile = factor_pod(len(devices), len(jax.local_devices()),
+                                   frames_per_pod)
+    if frames_per_pod and frame != frames_per_pod:
+        log.warning("frames_per_pod=%d does not divide %d devices; using %d",
+                    frames_per_pod, len(devices), frame)
     return make_mesh(devices, frame=frame, pair=pair, tile=tile)

@@ -173,3 +173,35 @@ def test_poisson_vcycle_sharded_matches_dense():
     res = np.asarray(_laplacian(jnp.asarray(got))) - screen * got - f
     res0 = np.linalg.norm(f)
     assert np.linalg.norm(res) < res0 / 100.0, np.linalg.norm(res) / res0
+
+
+def test_factor_pod_invariants():
+    """make_pod_mesh's factoring: exact cover for every device count,
+    frame clamped to a divisor (uneven requests degrade, never assert),
+    host-aligned default."""
+    from reconstruction_tpu.parallel.multihost import factor_pod
+
+    for n in range(1, 65):
+        for n_local in (1, 2, 4, 8):
+            for req in (None, 1, 2, 3, 5, 7, n, n + 3):
+                f, p, t = factor_pod(n, n_local, req)
+                assert f * p * t == n, (n, n_local, req, f, p, t)
+                assert f >= 1 and p >= 1 and t >= 1
+                if req:
+                    assert f <= max(min(req, n), 1)
+                else:
+                    # default: one frame row per host
+                    assert f == max(n // max(n_local, 1), 1) or n % f == 0
+
+    # Host-aligned default on a homogeneous pod: 4 hosts x 4 devices.
+    assert factor_pod(16, 4, None) == (4, 2, 2)
+    # Uneven request: 5 frames over 12 devices degrades to 4.
+    assert factor_pod(12, 4, 5) == (4, 3, 1) or factor_pod(12, 4, 5)[0] == 4
+
+
+def test_make_pod_mesh_single_process():
+    from reconstruction_tpu.parallel.multihost import make_pod_mesh
+    mesh = make_pod_mesh()
+    assert int(np.prod(list(mesh.shape.values()))) == len(jax.devices())
+    mesh5 = make_pod_mesh(frames_per_pod=5)  # 5 does not divide 8
+    assert int(np.prod(list(mesh5.shape.values()))) == len(jax.devices())
