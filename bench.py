@@ -1,37 +1,227 @@
-"""Headline benchmark: views fused per second per chip.
+"""Headline benchmark: views FUSED per second per chip, end to end.
 
-Workload = the reference's "myself" preset shape (`BatchProcess/main.cpp:
-30-35,59-61`): camera pairs at PyrmNum=4, base 160x240 -> finest
-1280x1920, full per-level recipe (brute/guided match, all constraint
-passes, 30+30*level refinement sweeps, triangulation).  One "view fused"
-= one camera image matched through all levels (a pair fuses 2 views,
-matching both directions like the reference).
+Workload = the reference's "myself" rig shape (`BatchProcess/main.cpp:
+30-35,59-61`): 4 camera pairs {0,1},{2,3},{4,5},{7,6}, PyrmNum=4, base
+160x240 -> finest 1280x1920 — run through the ENTIRE pipeline the
+reference times as "total time" (`reconstruction/main.cpp:22`): per pair
+rectify -> pyramid match (full per-level recipe incl. 30+30*level
+refinement sweeps) -> triangulate -> SOR -> normals; then global MLS ->
+Poisson(grid 256^3) -> marching -> trim/cleanup/smooth -> texture.  One
+"view fused" = one camera image carried from pixels to the final
+textured mesh (a pair fuses 2 views; both directions are matched like
+the reference).
+
+The scene is a synthetic calibrated 8-camera rig around an analytic
+height-field surface (tests/synthetic.py), rendered once at the finest
+working resolution and cached under .bench_cache/ — geometry is known
+exactly, so the bench also reports point-to-surface RMSE as a fidelity
+cross-check.
 
 The reference publishes no numbers (BASELINE.md); `vs_baseline` compares
-against the operation-count model of the reference's CPU pipeline in
-BENCH_NOTES.md (estimated 0.017 views/s on its era-typical workstation).
+against the operation-count model of its CPU MATCHING stage alone
+(0.017 views/s, BENCH_NOTES.md) — conservative toward the reference,
+since our numerator additionally pays for its PCL/meshing minutes.
 
 Prints ONE JSON line:
-  {"metric": "views_fused_per_sec_per_chip", "value": N,
-   "unit": "views/s", "vs_baseline": R}
+  {"metric": "views_fused_per_sec_per_chip", "value": N, "unit": "views/s",
+   "vs_baseline": R, "chip": ..., "matching_s": ..., "total_s": ...,
+   "stages_s": {...}, "mesh": {...}, "kernels": {per-kernel measured
+   roofline: gflops_per_s / hbm_gbps / utilization / bound}}
+
+Env knobs:
+  RECON_BENCH_MODE=full|stereo   stereo = matching-only loop (A/B tool)
+  RECON_BENCH_PAIRS=N            limit pair count (default 4)
+  RECON_BENCH_REPS=N             timed repetitions (default: 1 full run
+                                 after the cold run; stereo mode 3)
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
 REFERENCE_VIEWS_PER_SEC = 0.017  # see BENCH_NOTES.md
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_cache")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "tests"))
+
+
+# ---------------------------------------------------------------------------
+# scene
+# ---------------------------------------------------------------------------
+
+def build_rig(image_size, num_cameras=8, span_deg=42.0, tag="myself"):
+    """Calibrated rig + rendered views at the working resolution, cached
+    (rendering the analytic surface at 1280x1920 x8 takes ~2 min once)."""
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(
+        CACHE, f"rig_{tag}_{image_size[0]}x{image_size[1]}_{num_cameras}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        n = int(z["n"])
+        return ([{"K": z[f"K{i}"], "Rt": z[f"Rt{i}"]} for i in range(n)],
+                [z[f"img{i}"] for i in range(n)],
+                [z[f"mask{i}"] for i in range(n)])
+    from synthetic import make_stereo_scene
+    print(f"[bench] rendering {num_cameras} views at {image_size} "
+          f"(cached after first run)...", file=sys.stderr, flush=True)
+    cams, imgs, masks = make_stereo_scene(
+        image_size=image_size, span_deg=span_deg, num_cameras=num_cameras)
+    out = {"n": num_cameras}
+    for i, (c, img, msk) in enumerate(zip(cams, imgs, masks)):
+        out[f"K{i}"] = np.asarray(c.K, np.float64)
+        out[f"Rt{i}"] = np.asarray(c.Rt, np.float64)
+        out[f"img{i}"] = np.clip(img, 0, 255).astype(np.uint8)
+        out[f"mask{i}"] = (msk > 127).astype(np.uint8) * np.uint8(255)
+    np.savez_compressed(path, **out)
+    z = np.load(path)
+    return ([{"K": z[f"K{i}"], "Rt": z[f"Rt{i}"]} for i in range(num_cameras)],
+            [z[f"img{i}"] for i in range(num_cameras)],
+            [z[f"mask{i}"] for i in range(num_cameras)])
+
+
+def bench_config(npairs):
+    """The myself preset with cloud radii scaled to the synthetic scene's
+    world units (the reference's 2.5 suits its mm-scale captures; the
+    scene surface spans ~3.2 units at ~0.002 point spacing)."""
+    import dataclasses
+    from reconstruction_tpu.config import preset
+    cfg = preset("myself")
+    kw = {}
+    if "RECON_BENCH_BASE" in os.environ:  # smoke-test scaling, e.g. "40x60"
+        w, h = os.environ["RECON_BENCH_BASE"].split("x")
+        kw["lowest_level_size"] = (int(w), int(h))
+    if "RECON_BENCH_LEVELS" in os.environ:
+        kw["pyramid_levels"] = int(os.environ["RECON_BENCH_LEVELS"])
+    surface = cfg.surface
+    if "RECON_BENCH_GRID" in os.environ:
+        surface = dataclasses.replace(
+            surface, grid_resolution=int(os.environ["RECON_BENCH_GRID"]))
+    return cfg.replace(
+        cam_pairs=cfg.cam_pairs[:npairs],
+        cloud=dataclasses.replace(cfg.cloud, mls_radius=0.02),
+        surface=surface,
+        **kw)
+
+
+def make_pairs(cfg, cams, imgs, masks):
+    from reconstruction_tpu.pipeline.reconstruct import PairInput
+    pairs = []
+    for (a, b) in cfg.cam_pairs:
+        pairs.append(PairInput(
+            image0=imgs[a].astype(np.float32),
+            image1=imgs[b].astype(np.float32),
+            mask0=masks[a].astype(np.float32),
+            mask1=masks[b].astype(np.float32),
+            K0=cams[a]["K"], Rt0=cams[a]["Rt"],
+            K1=cams[b]["K"], Rt1=cams[b]["Rt"]))
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# measured kernel rooflines (BASELINE.md: NCC cost volume, refine, BA Schur)
+# ---------------------------------------------------------------------------
+
+def _time_op(fn, *args, reps=3):
+    """Median-of-reps on-device seconds (block_until_ready fenced)."""
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)  # compile + warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def measure_kernels(chip):
+    """On-chip seconds for the three hot kernels, fed through the
+    analytic FLOP/byte model (utils/profiling.py) -> measured roofline."""
+    import jax.numpy as jnp
+    from reconstruction_tpu.stereo.matching import ncc_sweep_match
+    from reconstruction_tpu.stereo.refine import disparity_refine
+    from reconstruction_tpu.stereo.margins import find_margin
+    from reconstruction_tpu.ba.bundle_adjust import BAProblem, ba_step
+    from reconstruction_tpu.config import NOMATCH
+    from reconstruction_tpu.utils.profiling import (
+        ncc_sweep_cost, refine_cost, schur_cost)
+
+    H, W = 1920, 1280  # finest level
+    rng = np.random.default_rng(7)
+    imgL, imgR, mask = synth_pair(H, W, rng)
+    valid = mask > 127
+    m = find_margin(jnp.asarray(valid), 2)
+    imgLj, imgRj = jnp.asarray(imgL), jnp.asarray(imgR)
+    vj = jnp.asarray(valid)
+    out = {}
+
+    # 1. NCC cost-volume sweep: fixed 64-shift span (uniform bounds so
+    # the analytic shift count is exact).
+    nsh = 64
+    lo = jnp.zeros((H, W), jnp.int32)
+    hi = jnp.full((H, W), nsh - 1, jnp.int32)
+
+    def sweep():
+        return ncc_sweep_match(imgLj, imgRj, vj, vj, lo, hi, 2).disparity
+
+    t = _time_op(sweep)
+    c = ncc_sweep_cost(H, W, 3, 2, nsh)
+    out["ncc_sweep"] = dict(seconds=round(t, 4), **_round(
+        c.utilization(t, chip)))
+
+    # 2. Subpixel refine, 30 sweeps at the finest shape (the production
+    # implementation the pipeline selects on this backend).
+    disp = np.where(valid, 40.0, NOMATCH).astype(np.float32)
+
+    def refine():
+        return disparity_refine(jnp.asarray(disp), imgLj, imgRj, m,
+                                iterations=30, ws=0.03)
+
+    t = _time_op(refine, reps=2)
+    c = refine_cost(H, W, 30, 128, build_shifts=40)
+    out["refine"] = dict(seconds=round(t, 4), **_round(c.utilization(t, chip)))
+
+    # 3. BA Schur step: 16 cams, 64k points, 8 obs/point.
+    C, M, O = 16, 1 << 16, 8
+    K = np.tile(np.array([[1000.0, 0, 640], [0, 1000, 960], [0, 0, 1]],
+                         np.float32), (C, 1, 1))
+    Rt0 = np.tile(np.hstack([np.eye(3), [[0], [0], [8.0]]]).astype(np.float32),
+                  (C, 1, 1))
+    prob = BAProblem(
+        K=jnp.asarray(K), Rt0=jnp.asarray(Rt0),
+        points0=jnp.asarray(rng.normal(size=(M, 3)).astype(np.float32)),
+        obs_uv=jnp.asarray(rng.uniform(0, 1000, (M, O, 2)).astype(np.float32)),
+        obs_cam=jnp.asarray(rng.integers(0, C, (M, O)).astype(np.int32)),
+        obs_ok=jnp.asarray(np.ones((M, O), bool)))
+    poses0 = jnp.zeros((C, 6), jnp.float32)
+
+    def schur():
+        poses, points, cost = ba_step(prob, poses0, prob.points0, C)
+        return poses
+
+    t = _time_op(schur)
+    c = schur_cost(M, O, C)
+    out["ba_schur"] = dict(seconds=round(t, 4),
+                           **_round(c.utilization(t, chip)))
+    return out
+
+
+def _round(d):
+    return {k: (round(v, 4) if isinstance(v, float) else v)
+            for k, v in d.items()}
 
 
 def synth_pair(H, W, rng):
-    """Synthetic rectified pair with a smooth disparity field: the right
-    image is the left warped by a known disparity + noise texture."""
+    """Synthetic rectified pair with a smooth disparity field (stereo-mode
+    workload and kernel-roofline inputs)."""
     yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
     tex = rng.uniform(0, 255, (H, W + 256, 3)).astype(np.float32)
-    # smooth texture so NCC has structure at every level
     for ax in (0, 1):
         for _ in range(2):
             tex = 0.5 * tex + 0.25 * (np.roll(tex, 1, ax) + np.roll(tex, -1, ax))
@@ -44,29 +234,69 @@ def synth_pair(H, W, rng):
     return imgL, imgR, mask
 
 
-def main():
-    import jax
-    # Persistent compilation cache: the 4-level pipeline compiles in
-    # minutes cold; cached reloads take seconds.
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# ---------------------------------------------------------------------------
+# full pipeline
+# ---------------------------------------------------------------------------
+
+def aggregate_stages(spans):
+    """Collapse pairN/* spans; keep global stage names."""
+    agg = {}
+    for k, v in spans.items():
+        key = k.split("/", 1)[1] if k.startswith("pair") else k
+        agg[key] = agg.get(key, 0.0) + v
+    return {k: round(v, 3) for k, v in agg.items()}
+
+
+def run_full(npairs, reps):
+    from reconstruction_tpu.pipeline.reconstruct import reconstruct
+    from synthetic import point_to_surface_rmse
+
+    cfg = bench_config(npairs)
+    W, H = cfg.finest_size
+    cams, imgs, masks = build_rig((W, H))
+    pairs = make_pairs(cfg, cams, imgs, masks)
+
+    runs = []
+    for r in range(reps + 1):  # run 0 = cold (compile); rest timed
+        t0 = time.perf_counter()
+        rec = reconstruct(cfg, pairs)
+        total = time.perf_counter() - t0
+        runs.append((total, dict(rec.timer.spans), rec))
+        print(f"[bench] {'cold' if r == 0 else f'run {r}'}: "
+              f"{total:.1f}s  stages={aggregate_stages(rec.timer.spans)}",
+              file=sys.stderr, flush=True)
+
+    best_i = 1 + int(np.argmin([t for t, _, _ in runs[1:]]))
+    total, spans, rec = runs[best_i]
+    stages = aggregate_stages(spans)
+    matching_s = sum(v for k, v in spans.items() if k.endswith("/stereo"))
+    rmse = point_to_surface_rmse(rec.vertices)
+    mesh = {"verts": int(len(rec.vertices)), "faces": int(len(rec.faces)),
+            "cloud_points": int(len(rec.cloud_xyz)),
+            "surface_rmse": round(float(rmse), 5)}
+    return {"matching_s": round(matching_s, 3),
+            "total_s": round(total, 3),
+            "cold_total_s": round(runs[0][0], 3),
+            "stages_s": stages,
+            "mesh": mesh,
+            "views_per_s": 2.0 * npairs / total}
+
+
+def run_stereo_only(reps):
+    """Matching-only loop (the r01 protocol) for kernel A/B work."""
     import jax.numpy as jnp
     from reconstruction_tpu.config import preset
     from reconstruction_tpu.core.pyramid import build_pyramid, quantize_u8
     from reconstruction_tpu.stereo.pipeline import match_one_level
 
     cfg = preset("myself")
-    W, H = cfg.finest_size  # (1280, 1920)
+    W, H = cfg.finest_size
     rng = np.random.default_rng(0)
     imgL, imgR, mask = synth_pair(H, W, rng)
-
     pyrL = build_pyramid(jnp.asarray(imgL), cfg.pyramid_levels)
     pyrR = build_pyramid(jnp.asarray(imgR), cfg.pyramid_levels)
     pyrM = [quantize_u8(m) for m in build_pyramid(jnp.asarray(mask),
                                                   cfg.pyramid_levels)]
-
-    import os
     refine_scale = float(os.environ.get("RECON_BENCH_REFINE_SCALE", "1"))
     refine_impl = os.environ.get("RECON_REFINE_IMPL", "auto")
 
@@ -79,17 +309,8 @@ def main():
             ws=cfg.stereo.refine_ws,
             refine_iters=max(1, int(cfg.refine_iterations(level)
                                     * refine_scale)),
-            refine_impl=refine_impl,
-        )
+            refine_impl=refine_impl)
 
-    def run_pair():
-        state = None
-        for level in range(cfg.pyramid_levels):
-            state = one_level(state, level)
-        return state
-
-    # warmup/compile with per-level diagnostics on stderr
-    import sys
     state = None
     for level in range(cfg.pyramid_levels):
         t0 = time.perf_counter()
@@ -97,11 +318,6 @@ def main():
         state.disp0.block_until_ready()
         print(f"[bench] level {level} compile+run: "
               f"{time.perf_counter() - t0:.2f}s", file=sys.stderr, flush=True)
-
-    # Timed passes: min-of-N per level.  The tunneled dev chip's
-    # throughput fluctuates with external load; the minimum reflects the
-    # program's own cost (standard benchmarking practice).
-    reps = int(os.environ.get("RECON_BENCH_REPS", "3"))
     best = [float("inf")] * cfg.pyramid_levels
     for r in range(reps):
         state = None
@@ -109,20 +325,50 @@ def main():
             t0 = time.perf_counter()
             state = one_level(state, level)
             state.disp0.block_until_ready()
-            dt = time.perf_counter() - t0
-            best[level] = min(best[level], dt)
-            print(f"[bench] rep {r} level {level} run: {dt:.2f}s",
-                  file=sys.stderr, flush=True)
-
+            best[level] = min(best[level], time.perf_counter() - t0)
     per_pair = sum(best)
     print(f"[bench] best per-level: {['%.2f' % b for b in best]} "
           f"-> {per_pair:.2f}s/pair", file=sys.stderr, flush=True)
-    vps = 2.0 / per_pair  # both directions matched per pair
+    return {"matching_s": round(per_pair, 3), "total_s": round(per_pair, 3),
+            "stages_s": {"stereo": round(per_pair, 3)},
+            "mesh": {}, "views_per_s": 2.0 / per_pair}
+
+
+def main():
+    import jax
+    if "RECON_BENCH_PLATFORM" in os.environ:  # e.g. "cpu" smoke runs; the
+        # axon sitecustomize pins the platform, env vars alone don't work
+        jax.config.update("jax_platforms", os.environ["RECON_BENCH_PLATFORM"])
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from reconstruction_tpu.utils.profiling import resolve_chip
+
+    mode = os.environ.get("RECON_BENCH_MODE", "full")
+    npairs = int(os.environ.get("RECON_BENCH_PAIRS", "4"))
+    reps = int(os.environ.get("RECON_BENCH_REPS",
+                              "3" if mode == "stereo" else "1"))
+    chip, kind = resolve_chip()
+    print(f"[bench] device: {kind} (peaks table: {chip}), mode={mode}",
+          file=sys.stderr, flush=True)
+
+    if mode == "stereo":
+        res = run_stereo_only(reps)
+        kernels = {}
+    else:
+        res = run_full(npairs, reps)
+        kernels = (measure_kernels(chip)
+                   if os.environ.get("RECON_BENCH_KERNELS", "1") != "0"
+                   else {})
+
+    vps = res.pop("views_per_s")
     print(json.dumps({
         "metric": "views_fused_per_sec_per_chip",
         "value": round(vps, 4),
         "unit": "views/s",
         "vs_baseline": round(vps / REFERENCE_VIEWS_PER_SEC, 2),
+        "chip": kind,
+        **res,
+        "kernels": kernels,
     }))
 
 

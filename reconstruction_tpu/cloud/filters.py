@@ -20,7 +20,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from reconstruction_tpu.cloud.neighbors import build_grid, gather_neighbors
+from reconstruction_tpu.cloud.neighbors import build_grid, neighbor_map
 
 
 def _mean_spacing(points: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
@@ -50,24 +50,30 @@ def sor_filter(
     # Cell sized so 27 cells usually hold >= mean_k candidates.
     cell = spacing * jnp.sqrt(jnp.float32(mean_k)) * 0.6 + 1e-6
     grid = build_grid(points, valid, cell)
-    nb = gather_neighbors(grid, points, valid, radius=cell,
-                          per_cell=per_cell, chunk=chunk, exclude_self=True)
-    K = nb.dist2.shape[1]
-    k = min(mean_k, K)
-    # k smallest distances among candidates
-    neg = -jnp.where(nb.ok, jnp.sqrt(nb.dist2), jnp.inf)
-    topk, _ = jax.lax.top_k(neg, k)
-    dists = -topk
-    found = jnp.isfinite(dists)
-    cnt = jnp.maximum(found.sum(-1), 1)
-    mean_d = jnp.where(found, dists, 0.0).sum(-1) / cnt
-    # Density-consistent correction for truncated neighborhoods: for a
-    # locally uniform surface sampling, mean-of-k-NN distance scales as
-    # sqrt(k), so points that found only m < k candidates in the search
-    # radius get their statistic extrapolated by sqrt(k/m).  Without this
-    # the per-point k varies and the global mu/sigma gate misfires.
-    mean_d = mean_d * jnp.sqrt(jnp.float32(k) / cnt.astype(jnp.float32))
-    has_nb = found.any(-1) & valid
+    k = min(mean_k, 27 * per_cell)
+
+    def knn_stat(q, cand, cpts, d2, ok):
+        """Per-query mean-of-k-NN distance, reduced IN the candidate
+        stream (materializing (M, 27*per_cell) candidates cost 19 GB at
+        production point counts — the r2 TPU bench OOM'd there)."""
+        neg = -jnp.where(ok, jnp.sqrt(d2), jnp.inf)
+        topk, _ = jax.lax.top_k(neg, k)
+        dists = -topk
+        found = jnp.isfinite(dists)
+        cnt = jnp.maximum(found.sum(-1), 1)
+        md = jnp.where(found, dists, 0.0).sum(-1) / cnt
+        # Density-consistent correction for truncated neighborhoods: for
+        # a locally uniform surface sampling, mean-of-k-NN distance
+        # scales as sqrt(k), so points that found only m < k candidates
+        # get their statistic extrapolated by sqrt(k/m).  Without this
+        # the per-point k varies and the global mu/sigma gate misfires.
+        md = md * jnp.sqrt(jnp.float32(k) / cnt.astype(jnp.float32))
+        return md, found.any(-1)
+
+    mean_d, has = neighbor_map(grid, points, valid, cell, knn_stat,
+                               per_cell=per_cell, chunk=chunk,
+                               exclude_self=True)
+    has_nb = has & valid
 
     # PCL's exact kNN always finds k neighbors, so isolated points feed
     # their (large) distances into the global mu/sigma — which is what
@@ -94,6 +100,8 @@ def radius_outlier_filter(
 ) -> jnp.ndarray:
     """Drop points with fewer than min_neighbors within radius."""
     grid = build_grid(points, valid, jnp.asarray(radius, jnp.float32))
-    nb = gather_neighbors(grid, points, valid, radius=radius,
-                          per_cell=per_cell, chunk=chunk, exclude_self=True)
-    return valid & (nb.ok.sum(-1) >= min_neighbors)
+    counts = neighbor_map(
+        grid, points, valid, radius,
+        lambda q, cand, cpts, d2, ok: ok.sum(-1),
+        per_cell=per_cell, chunk=chunk, exclude_self=True)
+    return valid & (counts >= min_neighbors)

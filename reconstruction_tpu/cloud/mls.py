@@ -17,7 +17,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from reconstruction_tpu.cloud.neighbors import build_grid, gather_neighbors
+from reconstruction_tpu.cloud.neighbors import build_grid, neighbor_map
 from reconstruction_tpu.cloud.normals import smallest_eigenvector_3x3
 
 
@@ -37,15 +37,21 @@ def mls_smooth(
     """
     r = jnp.asarray(radius, jnp.float32)
     grid = build_grid(points, valid, r)
-    nb = gather_neighbors(grid, points, valid, radius=radius,
-                          per_cell=per_cell, chunk=chunk)
-    # Gaussian weights exp(-d^2 / r^2) (PCL default sqr_gauss_param = r^2).
-    w = jnp.where(nb.ok, jnp.exp(-nb.dist2 / (r * r)), 0.0)
-    wsum = jnp.maximum(w.sum(-1, keepdims=True), 1e-20)
-    npts = grid.points[nb.idx]
-    mean = (npts * w[..., None]).sum(-2) / wsum
-    d = (npts - mean[:, None, :]) * jnp.sqrt(w)[..., None]
-    cov = jnp.einsum("nki,nkj->nij", d, d) / wsum[..., None]
+
+    def plane_stat(q, cand, cpts, d2, ok):
+        """Weighted plane-fit moments reduced in the candidate stream
+        (the fused global cloud runs at ~10M points; materialized
+        candidates would cost tens of GB)."""
+        # Gaussian weights exp(-d^2 / r^2) (PCL sqr_gauss_param = r^2).
+        w = jnp.where(ok, jnp.exp(-d2 / (r * r)), 0.0)
+        wsum = jnp.maximum(w.sum(-1, keepdims=True), 1e-20)
+        mean = (cpts * w[..., None]).sum(-2) / wsum
+        d = (cpts - mean[:, None, :]) * jnp.sqrt(w)[..., None]
+        cov = jnp.einsum("nki,nkj->nij", d, d) / wsum[..., None]
+        return mean, cov, ok.any(-1)
+
+    mean, cov, any_ok = neighbor_map(grid, points, valid, radius, plane_stat,
+                                     per_cell=per_cell, chunk=chunk)
     _, n = smallest_eigenvector_3x3(cov)
 
     # Project each point onto its local plane.
@@ -57,5 +63,5 @@ def mls_smooth(
     flip = jnp.sum(n * prev_normals, -1) < 0
     n = jnp.where(flip[:, None], -n, n)
 
-    ok = valid & nb.ok.any(-1)
+    ok = valid & any_ok
     return jnp.where(ok[:, None], proj, points), n, ok

@@ -65,23 +65,29 @@ class NeighborSet(NamedTuple):
     ok: jnp.ndarray     # (M, K) bool
 
 
-@partial(jax.jit, static_argnames=("per_cell", "chunk", "exclude_self"))
-def gather_neighbors(
+def neighbor_map(
     grid: VoxelGrid,
     queries: jnp.ndarray,
     q_valid: jnp.ndarray,
     radius: jnp.ndarray,
+    fn,
     per_cell: int = 8,
     chunk: int = 4096,
     exclude_self: bool = False,
-) -> NeighborSet:
-    """Candidates within ``radius`` of each query (capped per cell).
+):
+    """Stream queries through the padded 27-cell candidate gather and
+    REDUCE each chunk with ``fn`` — candidates never materialize beyond
+    one (chunk, 27*per_cell) block.
+
+    This is the memory contract that makes million-point clouds work:
+    returning raw candidates costs O(M * 27 * per_cell) HBM (19 GB at
+    2.5M points x per_cell 32 — the r2 bench OOM'd exactly there);
+    per-query statistics cost O(M).
 
     Args:
-      queries: (M, 3).  q_valid: (M,).  radius: scalar <= grid.cell.
-      per_cell: max candidates taken per adjacent cell (27 cells).
-      exclude_self: drop candidates at distance exactly 0 with matching
-        index (for self-queries on the same cloud).
+      fn: callback (q (c,3), cand (c,K) indices, cpts (c,K,3) positions,
+        d2 (c,K), ok (c,K)) -> pytree of (c, ...) arrays.
+    Returns fn's pytree stacked to (M, ...).
     """
     M = queries.shape[0]
     K = 27 * per_cell
@@ -126,11 +132,33 @@ def gather_neighbors(
         if exclude_self:
             ok = ok & (cand != qi[:, None])
         d2 = jnp.where(ok, d2, jnp.inf)
-        return cand, d2, ok
+        return fn(q, cand, cpts, d2, ok)
 
     blocks = (qp.reshape(nq, chunk, 3), vp.reshape(nq, chunk),
               qidx.reshape(nq, chunk))
-    idx, d2, ok = jax.lax.map(chunk_fn, blocks)
-    return NeighborSet(idx=idx.reshape(Mp, K)[:M],
-                       dist2=d2.reshape(Mp, K)[:M],
-                       ok=ok.reshape(Mp, K)[:M])
+    out = jax.lax.map(chunk_fn, blocks)
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape(Mp, *a.shape[2:])[:M], out)
+
+
+@partial(jax.jit, static_argnames=("per_cell", "chunk", "exclude_self"))
+def gather_neighbors(
+    grid: VoxelGrid,
+    queries: jnp.ndarray,
+    q_valid: jnp.ndarray,
+    radius: jnp.ndarray,
+    per_cell: int = 8,
+    chunk: int = 4096,
+    exclude_self: bool = False,
+) -> NeighborSet:
+    """Materialized candidates within ``radius`` of each query.
+
+    O(M * 27 * per_cell) memory — fine for tests and small clouds; hot
+    consumers (SOR / normals / MLS) reduce in-stream via `neighbor_map`.
+    """
+    out = neighbor_map(
+        grid, queries, q_valid, radius,
+        lambda q, cand, cpts, d2, ok: (cand, d2, ok),
+        per_cell=per_cell, chunk=chunk, exclude_self=exclude_self)
+    idx, d2, ok = out
+    return NeighborSet(idx=idx, dist2=d2, ok=ok)

@@ -15,7 +15,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from reconstruction_tpu.cloud.neighbors import NeighborSet, build_grid, gather_neighbors
+from reconstruction_tpu.cloud.neighbors import build_grid, neighbor_map
 
 
 @jax.jit
@@ -70,14 +70,18 @@ def estimate_normals(
     """Covariance normals within ``radius``, flipped toward ``viewpoint``
     (the pair's camera center, `CCloudOptimization.cpp:117-120`)."""
     grid = build_grid(points, valid, jnp.asarray(radius, jnp.float32))
-    nb = gather_neighbors(grid, points, valid, radius=radius,
-                          per_cell=per_cell, chunk=chunk)
-    w = nb.ok.astype(jnp.float32)                       # (N, K)
-    cnt = jnp.maximum(w.sum(-1, keepdims=True), 1.0)
-    npts = grid.points[nb.idx]                          # (N, K, 3)
-    mean = (npts * w[..., None]).sum(-2) / cnt
-    d = jnp.where(nb.ok[..., None], npts - mean[:, None, :], 0.0)
-    cov = jnp.einsum("nki,nkj->nij", d, d) / cnt[..., None]
+
+    def cov_stat(q, cand, cpts, d2, ok):
+        """Neighborhood covariance reduced in the candidate stream (the
+        (M, K, 3) gather would cost GBs at production point counts)."""
+        w = ok.astype(jnp.float32)                      # (c, K)
+        cnt = jnp.maximum(w.sum(-1, keepdims=True), 1.0)
+        mean = (cpts * w[..., None]).sum(-2) / cnt
+        d = jnp.where(ok[..., None], cpts - mean[:, None, :], 0.0)
+        return jnp.einsum("nki,nkj->nij", d, d) / cnt[..., None]
+
+    cov = neighbor_map(grid, points, valid, radius, cov_stat,
+                       per_cell=per_cell, chunk=chunk)
     _, normals = smallest_eigenvector_3x3(cov)
 
     to_cam = jnp.asarray(viewpoint, jnp.float32)[None, :] - points

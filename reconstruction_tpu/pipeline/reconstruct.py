@@ -40,7 +40,7 @@ from reconstruction_tpu.surface.mesh import (
 from reconstruction_tpu.surface.poisson import poisson_reconstruct
 from reconstruction_tpu.surface.texture import texture_vertices
 from reconstruction_tpu.utils.logging import StageStats, get_logger
-from reconstruction_tpu.utils.timing import Timer
+from reconstruction_tpu.utils.timing import Timer, block_ready
 
 log = get_logger(__name__)
 
@@ -144,6 +144,7 @@ def reconstruct(
             with timer.span(f"pair{pi}/stereo"):
                 res = match_pair(cfg, pin.image0, pin.image1, pin.mask0,
                                  pin.mask1, pin.K0, pin.Rt0, pin.K1, pin.Rt1)
+                block_ready(res.cloud)  # spans are honest under async dispatch
             cloud = res.cloud
             with timer.span(f"pair{pi}/filter"):
                 # SOR (`CCloudOptimization.cpp:82-86`)
@@ -155,6 +156,7 @@ def reconstruct(
                 nrm_j = estimate_normals(cloud.xyz, keep,
                                          radius=cfg.cloud.mls_radius,
                                          viewpoint=center)
+                block_ready((keep, nrm_j))
             keepn = np.asarray(keep)
             xyz = np.asarray(cloud.xyz)[keepn]
             nrm = np.asarray(nrm_j)[keepn]
@@ -232,6 +234,7 @@ def reconstruct(
             resolution=cfg.surface.grid_resolution,
             cycles=cfg.surface.mg_cycles,
             point_weight=cfg.surface.point_weight)
+        block_ready(pres)
     with timer.span("marching"):
         verts, faces = marching_tetrahedra(
             np.asarray(pres.chi), float(pres.iso),

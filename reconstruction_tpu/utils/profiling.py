@@ -14,16 +14,39 @@ from __future__ import annotations
 
 import contextlib
 from dataclasses import dataclass
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator, Optional, Tuple
 
 import jax
 
-# Per-chip peaks (bf16/f32 MXU FLOPs, HBM bytes/s).  v5e defaults; other
-# chips can be passed explicitly.
+# Per-chip peaks (bf16/f32 MXU FLOPs, HBM bytes/s).  Public figures from
+# the TPU system documentation ("How to Scale Your Model" hardware
+# tables); f32 is half the bf16 MXU rate.
 CHIP_PEAKS = {
-    "v5e": {"flops_f32": 98e12 / 2, "flops_bf16": 197e12, "hbm_gbps": 819e9},
-    "v4": {"flops_f32": 137.5e12, "flops_bf16": 275e12, "hbm_gbps": 1200e9},
+    "v3": {"flops_f32": 61.5e12, "flops_bf16": 123e12, "hbm_gbps": 900e9},
+    "v4": {"flops_f32": 137.5e12, "flops_bf16": 275e12, "hbm_gbps": 1228e9},
+    "v5e": {"flops_f32": 98e12, "flops_bf16": 197e12, "hbm_gbps": 819e9},
+    "v5p": {"flops_f32": 229.5e12, "flops_bf16": 459e12, "hbm_gbps": 2765e9},
+    "v6e": {"flops_f32": 459e12, "flops_bf16": 918e12, "hbm_gbps": 1640e9},
 }
+
+
+def resolve_chip(device=None) -> Tuple[str, str]:
+    """Map the live device's identity onto a CHIP_PEAKS entry.
+
+    Returns (peaks_key, raw device kind string).  The tunneled axon chip
+    reports through `device_kind`; unknown kinds fall back to "v5e"
+    (flagged in the returned kind so the bench output records the guess).
+    """
+    d = device if device is not None else jax.devices()[0]
+    kind = getattr(d, "device_kind", "") or d.platform
+    k = kind.lower().replace(" ", "")
+    for key in ("v6e", "v5p", "v5e", "v4", "v3"):
+        if key in k or key.replace("e", "lite") in k or \
+           (key == "v5e" and "v5lite" in k) or (key == "v6e" and "v6lite" in k):
+            return key, kind
+    if "cpu" in k:
+        return "v5e", f"{kind} (CPU host; v5e peaks nominal)"
+    return "v5e", f"{kind} (unknown; v5e peaks assumed)"
 
 
 @contextlib.contextmanager

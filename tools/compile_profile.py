@@ -57,27 +57,36 @@ def main():
         np.where(valid[::2, ::2], 5.0, NOMATCH).astype(np.float32))
     iters = cfg.refine_iterations(args.level)
 
+    bl = jnp.zeros((H, W), jnp.float32)
+    br = jnp.full((H, W), 20.0, jnp.float32)
+    # Arrays are passed as jit ARGUMENTS (closure capture would bake them
+    # into the HLO as constants and XLA's constant folding then executes
+    # whole stages at compile time — measured 16+ s folding one
+    # median_filter reduce).
     stages = {
-        "guided_match": lambda: matching.guided_match(
-            img0, img1, vj, vj, coarse, m, m, 2, 2),
-        "smoothness": lambda: constraints.smoothness_constraint(disp, m),
-        "ordering": lambda: constraints.ordering_constraint(disp, m),
-        "uniqueness": lambda: constraints.uniqueness_constraint(
-            disp, disp, m, m),
-        "propagate_bounds": lambda: constraints.propagate_bounds(
-            disp, vj, m, m),
-        "rematch": lambda: matching.rematch(
-            img0, img1, vj, vj, disp,
-            jnp.zeros((H, W), jnp.float32),
-            jnp.full((H, W), 20.0, jnp.float32), m, 2),
-        "median": lambda: constraints.median_filter(disp, vj, m, 1),
-        f"refine(x{iters})": lambda: refine.disparity_refine(
-            disp, img0, img1, m, iterations=iters, ws=0.03),
+        "guided_match": (lambda a, b, v, c, mm: matching.guided_match(
+            a, b, v, v, c, mm, mm, 2, 2), (img0, img1, vj, coarse, m)),
+        "smoothness": (lambda d, mm: constraints.smoothness_constraint(d, mm),
+                       (disp, m)),
+        "ordering": (lambda d, mm: constraints.ordering_constraint(d, mm),
+                     (disp, m)),
+        "uniqueness": (lambda d, mm: constraints.uniqueness_constraint(
+            d, d, mm, mm), (disp, m)),
+        "propagate_bounds": (lambda d, v, mm: constraints.propagate_bounds(
+            d, v, mm, mm), (disp, vj, m)),
+        "rematch": (lambda a, b, v, d, lo, hi, mm: matching.rematch(
+            a, b, v, v, d, lo, hi, mm, 2),
+            (img0, img1, vj, disp, bl, br, m)),
+        "median": (lambda d, v, mm: constraints.median_filter(d, v, mm, 1),
+                   (disp, vj, m)),
+        f"refine(x{iters})": (lambda d, a, b, mm: refine.disparity_refine(
+            d, a, b, mm, iterations=iters, ws=0.03),
+            (disp, img0, img1, m)),
     }
     rows = []
-    for name, fn in stages.items():
+    for name, (fn, fargs) in stages.items():
         t0 = time.perf_counter()
-        low = jax.jit(fn).lower()
+        low = jax.jit(fn).lower(*fargs)
         t_lower = time.perf_counter() - t0
         lines, chars = count_ops(low)
         t_comp = float("nan")
@@ -91,13 +100,13 @@ def main():
               file=sys.stderr, flush=True)
 
     if args.full:
-        def full():
-            return match_one_level(img0, img1,
-                                   jnp.asarray(valid * np.float32(255)),
-                                   jnp.asarray(valid * np.float32(255)),
-                                   None, 0, refine_iters=iters)
+        mk = jnp.asarray(valid * np.float32(255))
+
+        def full(a, b, m0, m1):
+            return match_one_level(a, b, m0, m1, None, 0, refine_iters=iters)
+
         t0 = time.perf_counter()
-        low = jax.jit(full).lower()
+        low = jax.jit(full).lower(img0, img1, mk, mk)
         t_lower = time.perf_counter() - t0
         lines, chars = count_ops(low)
         print(f"[compile] {'match_one_level':<20s} lower={t_lower:6.2f}s "
