@@ -10,52 +10,44 @@ brute-force oracle in tests).
 
 The optional radius-outlier-removal stage mirrors the reference's
 commented-out `RadiusOutlierRemoval` (`CCloudOptimization.cpp:90-96`).
+
+Both are host-entry wrappers around the DENSE voxel grid
+(cloud/neighbors.py): grid dims are computed host-side and static, the
+k-NN statistic reduces inside the candidate stream — O(M) memory and
+contiguous slice loads (the materialized/searchsorted path cost 78 s and
+19 GB per 2.45M-point pair on the r2 TPU bench).
 """
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from reconstruction_tpu.cloud.neighbors import build_grid, neighbor_map
-
-
-def _mean_spacing(points: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """Estimated mean point spacing from the bounding box and count."""
-    big = jnp.float32(1e30)
-    pts = points.astype(jnp.float32)
-    mn = jnp.min(jnp.where(valid[:, None], pts, big), axis=0)
-    mx = jnp.max(jnp.where(valid[:, None], pts, -big), axis=0)
-    n = jnp.maximum(valid.sum(), 1)
-    ext = jnp.maximum(mx - mn, 1e-6)
-    # surface-ish cloud: points scale with area, not volume
-    area = jnp.sort(ext)[1] * jnp.sort(ext)[2]
-    return jnp.sqrt(area / n.astype(jnp.float32))
+from reconstruction_tpu.cloud.neighbors import (
+    build_dense_grid, host_grid_geometry, neighbor_map_dense)
 
 
-@partial(jax.jit, static_argnames=("mean_k", "per_cell", "chunk"))
-def sor_filter(
-    points: jnp.ndarray,
-    valid: jnp.ndarray,
-    mean_k: int = 100,
-    std_thresh: float = 1.0,
-    per_cell: int = 32,
-    chunk: int = 4096,
-) -> jnp.ndarray:
-    """Returns the updated validity mask (outliers dropped)."""
-    spacing = _mean_spacing(points, valid)
-    # Cell sized so 27 cells usually hold >= mean_k candidates.
-    cell = spacing * jnp.sqrt(jnp.float32(mean_k)) * 0.6 + 1e-6
-    grid = build_grid(points, valid, cell)
-    k = min(mean_k, 27 * per_cell)
+def _mean_spacing(pts: np.ndarray, v: np.ndarray) -> float:
+    """Estimated mean point spacing from the bounding box and count
+    (surface-ish cloud: points scale with area, not volume)."""
+    if not v.any():
+        return 1.0
+    sel = pts[v]
+    ext = np.maximum(sel.max(0) - sel.min(0), 1e-6)
+    ext = np.sort(ext)
+    area = float(ext[1] * ext[2])
+    return float(np.sqrt(area / max(len(sel), 1)))
 
-    def knn_stat(q, cand, cpts, d2, ok):
+
+@lru_cache(None)
+def _knn_stat(k: int):
+    def fn(q, cand, cpts, d2, ok):
         """Per-query mean-of-k-NN distance, reduced IN the candidate
-        stream (materializing (M, 27*per_cell) candidates cost 19 GB at
-        production point counts — the r2 TPU bench OOM'd there)."""
+        stream."""
         neg = -jnp.where(ok, jnp.sqrt(d2), jnp.inf)
         topk, _ = jax.lax.top_k(neg, k)
         dists = -topk
@@ -70,9 +62,30 @@ def sor_filter(
         md = md * jnp.sqrt(jnp.float32(k) / cnt.astype(jnp.float32))
         return md, found.any(-1)
 
-    mean_d, has = neighbor_map(grid, points, valid, cell, knn_stat,
-                               per_cell=per_cell, chunk=chunk,
-                               exclude_self=True)
+    return fn
+
+
+def sor_filter(
+    points: jnp.ndarray,
+    valid: jnp.ndarray,
+    mean_k: int = 100,
+    std_thresh: float = 1.0,
+    per_cell: int = 32,
+    chunk: int = 4096,
+) -> jnp.ndarray:
+    """Returns the updated validity mask (outliers dropped)."""
+    pts_np = np.asarray(points, np.float32)
+    v_np = np.asarray(valid).astype(bool)
+    spacing = _mean_spacing(pts_np, v_np)
+    # Cell sized so 27 cells usually hold >= mean_k candidates.
+    cell = spacing * float(np.sqrt(mean_k)) * 0.6 + 1e-6
+    origin, dims = host_grid_geometry(pts_np, v_np, cell)
+    grid = build_dense_grid(points, valid, origin, cell, dims,
+                            pad=per_cell)
+    k = min(mean_k, 27 * per_cell)
+    mean_d, has = neighbor_map_dense(
+        grid, points, valid, cell, _knn_stat(k), dims,
+        per_cell=per_cell, chunk=chunk, exclude_self=True)
     has_nb = has & valid
 
     # PCL's exact kNN always finds k neighbors, so isolated points feed
@@ -80,7 +93,7 @@ def sor_filter(
     # makes the +sigma gate lenient on the inlier tail.  Radius-bounded
     # search loses that: impute a large statistic for zero-neighbor
     # points so the gate behaves the same, and kill them regardless.
-    imputed = jnp.where(valid & ~has_nb, 10.0 * grid.cell, mean_d)
+    imputed = jnp.where(valid & ~has_nb, 10.0 * cell, mean_d)
     denom = jnp.maximum(valid.sum(), 1).astype(jnp.float32)
     mu = jnp.where(valid, imputed, 0.0).sum() / denom
     var = jnp.where(valid, (imputed - mu) ** 2, 0.0).sum() / denom
@@ -89,7 +102,10 @@ def sor_filter(
     return keep
 
 
-@partial(jax.jit, static_argnames=("min_neighbors", "per_cell", "chunk"))
+def _count_fn(q, cand, cpts, d2, ok):
+    return ok.sum(-1)
+
+
 def radius_outlier_filter(
     points: jnp.ndarray,
     valid: jnp.ndarray,
@@ -99,9 +115,12 @@ def radius_outlier_filter(
     chunk: int = 4096,
 ) -> jnp.ndarray:
     """Drop points with fewer than min_neighbors within radius."""
-    grid = build_grid(points, valid, jnp.asarray(radius, jnp.float32))
-    counts = neighbor_map(
-        grid, points, valid, radius,
-        lambda q, cand, cpts, d2, ok: ok.sum(-1),
+    pts_np = np.asarray(points, np.float32)
+    v_np = np.asarray(valid).astype(bool)
+    origin, dims = host_grid_geometry(pts_np, v_np, radius)
+    grid = build_dense_grid(points, valid, origin, radius, dims,
+                            pad=per_cell)
+    counts = neighbor_map_dense(
+        grid, points, valid, radius, _count_fn, dims,
         per_cell=per_cell, chunk=chunk, exclude_self=True)
     return valid & (counts >= min_neighbors)

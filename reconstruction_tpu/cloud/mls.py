@@ -17,11 +17,32 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from reconstruction_tpu.cloud.neighbors import build_grid, neighbor_map
+from functools import lru_cache
+
+import numpy as np
+
+from reconstruction_tpu.cloud.neighbors import (
+    build_dense_grid, host_grid_geometry, neighbor_map_dense)
 from reconstruction_tpu.cloud.normals import smallest_eigenvector_3x3
 
 
-@partial(jax.jit, static_argnames=("per_cell", "chunk"))
+@lru_cache(None)
+def _plane_stat(r: float):
+    def fn(q, cand, cpts, d2, ok):
+        """Weighted plane-fit moments reduced in the candidate stream
+        (the fused global cloud runs at millions of points; materialized
+        candidates would cost tens of GB)."""
+        # Gaussian weights exp(-d^2 / r^2) (PCL sqr_gauss_param = r^2).
+        w = jnp.where(ok, jnp.exp(-d2 / (r * r)), 0.0)
+        wsum = jnp.maximum(w.sum(-1, keepdims=True), 1e-20)
+        mean = (cpts * w[..., None]).sum(-2) / wsum
+        d = (cpts - mean[:, None, :]) * jnp.sqrt(w)[..., None]
+        cov = jnp.einsum("nki,nkj->nij", d, d) / wsum[..., None]
+        return mean, cov, ok.any(-1)
+
+    return fn
+
+
 def mls_smooth(
     points: jnp.ndarray,
     valid: jnp.ndarray,
@@ -35,23 +56,14 @@ def mls_smooth(
     Points with no neighbors in radius are dropped (PCL MLS likewise
     produces no output sample for them).
     """
-    r = jnp.asarray(radius, jnp.float32)
-    grid = build_grid(points, valid, r)
-
-    def plane_stat(q, cand, cpts, d2, ok):
-        """Weighted plane-fit moments reduced in the candidate stream
-        (the fused global cloud runs at ~10M points; materialized
-        candidates would cost tens of GB)."""
-        # Gaussian weights exp(-d^2 / r^2) (PCL sqr_gauss_param = r^2).
-        w = jnp.where(ok, jnp.exp(-d2 / (r * r)), 0.0)
-        wsum = jnp.maximum(w.sum(-1, keepdims=True), 1e-20)
-        mean = (cpts * w[..., None]).sum(-2) / wsum
-        d = (cpts - mean[:, None, :]) * jnp.sqrt(w)[..., None]
-        cov = jnp.einsum("nki,nkj->nij", d, d) / wsum[..., None]
-        return mean, cov, ok.any(-1)
-
-    mean, cov, any_ok = neighbor_map(grid, points, valid, radius, plane_stat,
-                                     per_cell=per_cell, chunk=chunk)
+    radius = float(radius)
+    origin, dims = host_grid_geometry(np.asarray(points),
+                                      np.asarray(valid), radius)
+    grid = build_dense_grid(points, valid, origin, radius, dims,
+                            pad=per_cell)
+    mean, cov, any_ok = neighbor_map_dense(
+        grid, points, valid, radius, _plane_stat(radius), dims,
+        per_cell=per_cell, chunk=chunk)
     _, n = smallest_eigenvector_3x3(cov)
 
     # Project each point onto its local plane.

@@ -14,8 +14,10 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from reconstruction_tpu.cloud.neighbors import build_grid, neighbor_map
+from reconstruction_tpu.cloud.neighbors import (
+    build_dense_grid, host_grid_geometry, neighbor_map_dense)
 
 
 @jax.jit
@@ -58,7 +60,16 @@ def smallest_eigenvector_3x3(A: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return lam_min, v
 
 
-@partial(jax.jit, static_argnames=("per_cell", "chunk"))
+def _cov_stat(q, cand, cpts, d2, ok):
+    """Neighborhood covariance reduced in the candidate stream (the
+    (M, K, 3) gather would cost GBs at production point counts)."""
+    w = ok.astype(jnp.float32)                      # (c, K)
+    cnt = jnp.maximum(w.sum(-1, keepdims=True), 1.0)
+    mean = (cpts * w[..., None]).sum(-2) / cnt
+    d = jnp.where(ok[..., None], cpts - mean[:, None, :], 0.0)
+    return jnp.einsum("nki,nkj->nij", d, d) / cnt[..., None]
+
+
 def estimate_normals(
     points: jnp.ndarray,
     valid: jnp.ndarray,
@@ -69,19 +80,13 @@ def estimate_normals(
 ) -> jnp.ndarray:
     """Covariance normals within ``radius``, flipped toward ``viewpoint``
     (the pair's camera center, `CCloudOptimization.cpp:117-120`)."""
-    grid = build_grid(points, valid, jnp.asarray(radius, jnp.float32))
-
-    def cov_stat(q, cand, cpts, d2, ok):
-        """Neighborhood covariance reduced in the candidate stream (the
-        (M, K, 3) gather would cost GBs at production point counts)."""
-        w = ok.astype(jnp.float32)                      # (c, K)
-        cnt = jnp.maximum(w.sum(-1, keepdims=True), 1.0)
-        mean = (cpts * w[..., None]).sum(-2) / cnt
-        d = jnp.where(ok[..., None], cpts - mean[:, None, :], 0.0)
-        return jnp.einsum("nki,nkj->nij", d, d) / cnt[..., None]
-
-    cov = neighbor_map(grid, points, valid, radius, cov_stat,
-                       per_cell=per_cell, chunk=chunk)
+    radius = float(radius)
+    origin, dims = host_grid_geometry(np.asarray(points),
+                                      np.asarray(valid), radius)
+    grid = build_dense_grid(points, valid, origin, radius, dims,
+                            pad=per_cell)
+    cov = neighbor_map_dense(grid, points, valid, radius, _cov_stat, dims,
+                             per_cell=per_cell, chunk=chunk)
     _, normals = smallest_eigenvector_3x3(cov)
 
     to_cam = jnp.asarray(viewpoint, jnp.float32)[None, :] - points

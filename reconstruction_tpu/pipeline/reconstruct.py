@@ -168,8 +168,8 @@ def reconstruct(
                 os.makedirs(artifact_dir, exist_ok=True)
                 write_ply(os.path.join(artifact_dir, f"cloud{pi}.ply"),
                           xyz, colors=col, color_order="bgr")
-                img0 = _as_working_image(cfg, pin, res, 0)
-                img1 = _as_working_image(cfg, pin, res, 1)
+                img0 = res.rect_images[0].astype(np.float32)
+                img1 = res.rect_images[1].astype(np.float32)
                 # Rectified-image dumps, `<pair>_<camID>.jpg` like the
                 # reference (`CStereoMatching.cpp:159-166`).
                 from reconstruction_tpu.io.images import imwrite
@@ -263,12 +263,12 @@ def reconstruct(
         for pi, res in enumerate(pair_results):
             if res is None:
                 continue  # checkpoint-restored pair: no projection context
-            pin = pairs[pi]
             # textures sample the working-resolution rectified images via
             # the reference's world->scaled-pixel P (`CStereoMatching.cpp:145`)
+            # — reusing the remap already computed inside match_pair.
             cams.append((res.rectification.P1_world,
-                         _as_working_image(cfg, pin, res, 0),
-                         _as_working_mask(cfg, pin, res, 0),
+                         res.rect_images[0].astype(np.float32),
+                         res.rect_masks[0].astype(np.float32),
                          res.rectification.T_final))
         colors = (texture_vertices(verts, vnorm, cams) if cams
                   else np.full((len(verts), 3), 127.0))
@@ -295,26 +295,3 @@ def _vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
     return n / np.maximum(ln, 1e-12)
 
 
-def _as_working_image(cfg, pin: PairInput, res: PairResult, side: int) -> np.ndarray:
-    """Rectified working-resolution image for texturing."""
-    from reconstruction_tpu.core.remap import rectify_map, remap_bilinear
-    rect = res.rectification
-    K = pin.K0 if side == 0 else pin.K1
-    R = rect.R1 if side == 0 else rect.R2
-    P = rect.P1_scaled if side == 0 else rect.P2_scaled
-    img = pin.image0 if side == 0 else pin.image1
-    mx, my = rectify_map(K, R, P, cfg.finest_size)
-    return np.asarray(remap_bilinear(jnp.asarray(img, jnp.float32),
-                                     jnp.asarray(mx), jnp.asarray(my)))
-
-
-def _as_working_mask(cfg, pin: PairInput, res: PairResult, side: int) -> np.ndarray:
-    from reconstruction_tpu.core.remap import rectify_map, remap_bilinear
-    rect = res.rectification
-    K = pin.K0 if side == 0 else pin.K1
-    R = rect.R1 if side == 0 else rect.R2
-    P = rect.P1_scaled if side == 0 else rect.P2_scaled
-    msk = pin.mask0 if side == 0 else pin.mask1
-    mx, my = rectify_map(K, R, P, cfg.finest_size)
-    return np.asarray(remap_bilinear(jnp.asarray(msk, jnp.float32),
-                                     jnp.asarray(mx), jnp.asarray(my)))

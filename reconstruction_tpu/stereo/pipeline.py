@@ -121,6 +121,12 @@ class PairResult:
     rectification: RectifyResult
     margins0: Margins
     margins1: Margins
+    # Rectified working-resolution images/masks (uint8 host arrays),
+    # kept so texturing and the isoutput dumps reuse the remap already
+    # paid inside match_pair (re-remapping cost ~60 s of the r2 bench's
+    # texture stage: 2.5M-pixel gathers x 8 arrays).
+    rect_images: Tuple[np.ndarray, np.ndarray] = None
+    rect_masks: Tuple[np.ndarray, np.ndarray] = None
 
 
 def match_pair(
@@ -146,7 +152,7 @@ def match_pair(
 
     # Remap both views to the rectified working grid
     # (`CStereoMatching.cpp:140-158`).
-    imgs, masks = [], []
+    imgs, masks, raw_masks = [], [], []
     se = cfg.stereo.mask_erode_base * (1 << (cfg.pyramid_levels - 1))
     for img, msk, Rr, P in ((image0, mask0, rect.R1, rect.P1_scaled),
                             (image1, mask1, rect.R2, rect.P2_scaled)):
@@ -156,6 +162,7 @@ def match_pair(
                             jnp.asarray(mx), jnp.asarray(my))
         mk = remap_bilinear(jnp.asarray(msk, jnp.float32),
                             jnp.asarray(mx), jnp.asarray(my))
+        raw_masks.append(mk)       # pre-erosion (texturing uses this)
         mk = erode_mask(mk, se)
         imgs.append(quantize_u8(im))
         masks.append(mk)
@@ -194,4 +201,8 @@ def match_pair(
         rectification=rect,
         margins0=m0,
         margins1=m1,
+        rect_images=(np.asarray(imgs[0]).astype(np.uint8),
+                     np.asarray(imgs[1]).astype(np.uint8)),
+        rect_masks=(np.asarray(quantize_u8(raw_masks[0])).astype(np.uint8),
+                    np.asarray(quantize_u8(raw_masks[1])).astype(np.uint8)),
     )
