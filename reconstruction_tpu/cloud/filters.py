@@ -33,11 +33,16 @@ from reconstruction_tpu.cloud.neighbors import (
 
 def _mean_spacing(pts: np.ndarray, v: np.ndarray) -> float:
     """Estimated mean point spacing from the bounding box and count
-    (surface-ish cloud: points scale with area, not volume)."""
+    (surface-ish cloud: points scale with area, not volume).  Quantile
+    box, not min/max: triangulation outliers otherwise inflate the
+    estimate by orders of magnitude."""
     if not v.any():
         return 1.0
     sel = pts[v]
-    ext = np.maximum(sel.max(0) - sel.min(0), 1e-6)
+    if len(sel) > 200_000:
+        sel = sel[:: len(sel) // 200_000 + 1]
+    ext = np.maximum(np.quantile(sel, 0.999, axis=0)
+                     - np.quantile(sel, 0.001, axis=0), 1e-6)
     ext = np.sort(ext)
     area = float(ext[1] * ext[2])
     return float(np.sqrt(area / max(len(sel), 1)))
@@ -79,7 +84,7 @@ def sor_filter(
     spacing = _mean_spacing(pts_np, v_np)
     # Cell sized so 27 cells usually hold >= mean_k candidates.
     cell = spacing * float(np.sqrt(mean_k)) * 0.6 + 1e-6
-    origin, dims = host_grid_geometry(pts_np, v_np, cell)
+    origin, dims, cell = host_grid_geometry(pts_np, v_np, cell)
     grid = build_dense_grid(points, valid, origin, cell, dims,
                             pad=per_cell)
     k = min(mean_k, 27 * per_cell)
@@ -117,8 +122,8 @@ def radius_outlier_filter(
     """Drop points with fewer than min_neighbors within radius."""
     pts_np = np.asarray(points, np.float32)
     v_np = np.asarray(valid).astype(bool)
-    origin, dims = host_grid_geometry(pts_np, v_np, radius)
-    grid = build_dense_grid(points, valid, origin, radius, dims,
+    origin, dims, cell = host_grid_geometry(pts_np, v_np, radius)
+    grid = build_dense_grid(points, valid, origin, cell, dims,
                             pad=per_cell)
     counts = neighbor_map_dense(
         grid, points, valid, radius, _count_fn, dims,

@@ -57,9 +57,9 @@ def mls_smooth(
     produces no output sample for them).
     """
     radius = float(radius)
-    origin, dims = host_grid_geometry(np.asarray(points),
-                                      np.asarray(valid), radius)
-    grid = build_dense_grid(points, valid, origin, radius, dims,
+    origin, dims, cell = host_grid_geometry(np.asarray(points),
+                                            np.asarray(valid), radius)
+    grid = build_dense_grid(points, valid, origin, cell, dims,
                             pad=per_cell)
     mean, cov, any_ok = neighbor_map_dense(
         grid, points, valid, radius, _plane_stat(radius), dims,

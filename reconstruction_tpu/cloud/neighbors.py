@@ -192,22 +192,48 @@ class DenseGrid(NamedTuple):
     cell: jnp.ndarray        # scalar
 
 
-def host_grid_geometry(points, valid, cell, round_to=32):
-    """Host-side grid geometry: origin (np (3,)) + STATIC dims tuple.
+def host_grid_geometry(points, valid, cell, round_to=32,
+                       max_cells=32_000_000, quantile=1e-3):
+    """Host-side grid geometry: origin (np (3,)), STATIC dims tuple, and
+    the cell size actually used (>= requested).
+
+    Two robustness rules, both learned from a TPU worker crash on the r2
+    bench (the raw bbox of a pre-SOR stereo cloud is set by triangulation
+    OUTLIERS — exactly the points the filter exists to remove — and blew
+    the dense cell table to billions of cells):
+
+      * the bbox is the [q, 1-q] per-axis quantile box (outliers clamp
+        into border cells; the d2 <= r^2 check rejects them as
+        candidates, and their own garbage statistics get them killed),
+      * the cell grows until the table fits ``max_cells`` — a bigger
+        cell keeps the 27-cell neighborhood a SUPERSET of the search
+        ball, so correctness is unchanged (per_cell capping just
+        truncates more).
 
     Rounding dims up to ``round_to`` keeps recompiles rare across pairs
-    of the same scene."""
+    of the same scene.
+    """
     pts = np.asarray(points, np.float32)
     v = np.asarray(valid).astype(bool)
     cell = float(cell)
     if not v.any():
-        return np.zeros(3, np.float32), (round_to, round_to, round_to)
+        return (np.zeros(3, np.float32), (round_to, round_to, round_to),
+                max(cell, 1e-12))
     sel = pts[v]
-    origin = sel.min(0)
-    ext = sel.max(0) - origin
-    dims = np.maximum((ext / max(cell, 1e-12)).astype(np.int64) + 2, 1)
-    dims = ((dims + round_to - 1) // round_to) * round_to
-    return origin.astype(np.float32), (int(dims[0]), int(dims[1]), int(dims[2]))
+    if len(sel) > 200_000:  # quantiles on a subsample: sort cost, same box
+        sel = sel[:: len(sel) // 200_000 + 1]
+    lo = np.quantile(sel, quantile, axis=0)
+    hi = np.quantile(sel, 1.0 - quantile, axis=0)
+    ext = np.maximum(hi - lo, 1e-6)
+    cell = max(cell, 1e-12)
+    while True:
+        dims = np.maximum((ext / cell).astype(np.int64) + 2, 1)
+        dims = ((dims + round_to - 1) // round_to) * round_to
+        if int(dims[0] * dims[1] * dims[2]) <= max_cells:
+            break
+        cell *= 1.5
+    origin = (lo - cell).astype(np.float32)  # one guard cell of margin
+    return (origin, (int(dims[0]), int(dims[1]), int(dims[2])), cell)
 
 
 @partial(jax.jit, static_argnames=("dims", "pad"))

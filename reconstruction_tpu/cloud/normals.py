@@ -81,9 +81,9 @@ def estimate_normals(
     """Covariance normals within ``radius``, flipped toward ``viewpoint``
     (the pair's camera center, `CCloudOptimization.cpp:117-120`)."""
     radius = float(radius)
-    origin, dims = host_grid_geometry(np.asarray(points),
-                                      np.asarray(valid), radius)
-    grid = build_dense_grid(points, valid, origin, radius, dims,
+    origin, dims, cell = host_grid_geometry(np.asarray(points),
+                                            np.asarray(valid), radius)
+    grid = build_dense_grid(points, valid, origin, cell, dims,
                             pad=per_cell)
     cov = neighbor_map_dense(grid, points, valid, radius, _cov_stat, dims,
                              per_cell=per_cell, chunk=chunk)

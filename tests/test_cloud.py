@@ -177,3 +177,31 @@ def test_cross_view_dedup_vs_oracle(rng):
                             valid, P0.astype(np.float64),
                             centers.astype(np.float64), masks)
         assert (got == want).all(), (trial, np.nonzero(got != want))
+
+
+def test_dense_grid_outlier_bbox_bounded(rng):
+    """Regression: a pre-SOR stereo cloud's raw bbox is set by
+    triangulation outliers; the dense grid must stay within its cell
+    budget (the unbounded version crashed the TPU worker allocating a
+    billions-of-cells table) and the filter must still kill the
+    outliers."""
+    from reconstruction_tpu.cloud.filters import sor_filter
+    from reconstruction_tpu.cloud.neighbors import host_grid_geometry
+
+    n = 20000
+    pts = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    pts[:, 2] *= 0.05                       # surface-ish slab
+    pts[:5] = [[900.0, -700.0, 5000.0], [-800.0, 600.0, -4000.0],
+               [550.0, 910.0, 3000.0], [-640.0, -880.0, 2500.0],
+               [990.0, 20.0, -3500.0]]    # wild triangulation outliers
+    valid = np.ones(n, bool)
+
+    origin, dims, cell = host_grid_geometry(pts, valid, 0.05,
+                                            max_cells=2_000_000)
+    assert dims[0] * dims[1] * dims[2] <= 2_000_000, dims
+    assert cell >= 0.05
+
+    keep = np.asarray(sor_filter(jnp.asarray(pts), jnp.asarray(valid),
+                                 mean_k=20))
+    assert not keep[:5].any()               # outliers killed
+    assert keep[5:].mean() > 0.9            # surface survives
