@@ -49,23 +49,35 @@ def _mean_spacing(pts: np.ndarray, v: np.ndarray) -> float:
 
 
 @lru_cache(None)
-def _knn_stat(k: int):
+def _knn_stat(k: int, iters: int = 14):
     def fn(q, cand, cpts, d2, ok):
         """Per-query mean-of-k-NN distance, reduced IN the candidate
-        stream."""
-        neg = -jnp.where(ok, jnp.sqrt(d2), jnp.inf)
-        topk, _ = jax.lax.top_k(neg, k)
-        dists = -topk
-        found = jnp.isfinite(dists)
-        cnt = jnp.maximum(found.sum(-1), 1)
-        md = jnp.where(found, dists, 0.0).sum(-1) / cnt
+        stream, SORT-FREE: bisect the squared-distance threshold t so
+        that |{d2 <= t}| ~= k (14 halvings resolve t to max_d2/16384),
+        then average the selected distances.  Pure compares + sums —
+        lax.top_k over the (chunk, 27*per_cell) block stalled the TPU
+        for 15+ min inside the streamed map; this formulation is
+        branch-free VPU work.  The cap comes from the data (max masked
+        d2 per query), keeping the callback cacheable by k alone."""
+        lo = jnp.zeros(d2.shape[:-1], jnp.float32)
+        hi = jnp.max(jnp.where(ok, d2, 0.0), axis=-1) + 1e-12
+        for _ in range(iters):
+            mid = 0.5 * (lo + hi)
+            cnt = (ok & (d2 <= mid[..., None])).sum(-1)
+            take = cnt >= k
+            hi = jnp.where(take, mid, hi)
+            lo = jnp.where(take, lo, mid)
+        sel = ok & (d2 <= hi[..., None])
+        m = jnp.maximum(sel.sum(-1), 1)
+        md = jnp.where(sel, jnp.sqrt(d2), 0.0).sum(-1) / m
         # Density-consistent correction for truncated neighborhoods: for
         # a locally uniform surface sampling, mean-of-k-NN distance
         # scales as sqrt(k), so points that found only m < k candidates
         # get their statistic extrapolated by sqrt(k/m).  Without this
         # the per-point k varies and the global mu/sigma gate misfires.
-        md = md * jnp.sqrt(jnp.float32(k) / cnt.astype(jnp.float32))
-        return md, found.any(-1)
+        meff = jnp.minimum(m, k)
+        md = md * jnp.sqrt(jnp.float32(k) / meff.astype(jnp.float32))
+        return md, sel.any(-1)
 
     return fn
 
