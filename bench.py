@@ -265,6 +265,8 @@ def run_full(npairs, reps):
         print(f"[bench] {'cold' if r == 0 else f'run {r}'}: "
               f"{total:.1f}s  stages={aggregate_stages(rec.timer.spans)}",
               file=sys.stderr, flush=True)
+    if reps == 0:  # cache-warming session: report the cold run
+        runs.append(runs[0])
 
     best_i = 1 + int(np.argmin([t for t, _, _ in runs[1:]]))
     total, spans, rec = runs[best_i]
@@ -340,7 +342,11 @@ def main():
         # axon sitecustomize pins the platform, env vars alone don't work
         jax.config.update("jax_platforms", os.environ["RECON_BENCH_PLATFORM"])
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Cache EVERYTHING: on the tunneled chip even a sub-second compile
+    # pays a multi-second relay round trip, and the pipeline dispatches
+    # dozens of small programs (sor_filter's untraced epilogue measured
+    # 430 s cold before fusion+caching; tools/repro_knn_variants.py).
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     from reconstruction_tpu.utils.profiling import resolve_chip
 
     mode = os.environ.get("RECON_BENCH_MODE", "full")

@@ -49,35 +49,50 @@ def _mean_spacing(pts: np.ndarray, v: np.ndarray) -> float:
 
 
 @lru_cache(None)
-def _knn_stat(k: int, iters: int = 14):
+def _knn_stat(k: int, bins: int = 32):
     def fn(q, cand, cpts, d2, ok):
         """Per-query mean-of-k-NN distance, reduced IN the candidate
-        stream, SORT-FREE: bisect the squared-distance threshold t so
-        that |{d2 <= t}| ~= k (14 halvings resolve t to max_d2/16384),
-        then average the selected distances.  Pure compares + sums —
-        lax.top_k over the (chunk, 27*per_cell) block stalled the TPU
-        for 15+ min inside the streamed map; this formulation is
-        branch-free VPU work.  The cap comes from the data (max masked
-        d2 per query), keeping the callback cacheable by k alone."""
-        lo = jnp.zeros(d2.shape[:-1], jnp.float32)
-        hi = jnp.max(jnp.where(ok, d2, 0.0), axis=-1) + 1e-12
-        for _ in range(iters):
-            mid = 0.5 * (lo + hi)
-            cnt = (ok & (d2 <= mid[..., None])).sum(-1)
-            take = cnt >= k
-            hi = jnp.where(take, mid, hi)
-            lo = jnp.where(take, lo, mid)
-        sel = ok & (d2 <= hi[..., None])
-        m = jnp.maximum(sel.sum(-1), 1)
-        md = jnp.where(sel, jnp.sqrt(d2), 0.0).sum(-1) / m
+        stream via a ``bins``-bucket distance histogram — INDEPENDENT
+        masked reductions only.  Both prior formulations with a serial
+        reduction chain over the (chunk, 27*per_cell) block killed the
+        TPU: lax.top_k stalled 15+ min, and a 14-step loop-carried
+        threshold bisection faulted the device outright (isolated in
+        tools/repro_sor_tpu.py — the single-reduction count callback in
+        the same map runs in 4.6 s).  Per-bin count/sum compares are
+        structurally the same kernel as that working count pass.
+
+        Bin edges are per-query (relative to the max candidate
+        distance), counts/sums accumulate per bin, and the k-NN mean is
+        read off the cumulative histogram, taking the straddling bin at
+        its average distance (bins are narrow; the mu+sigma gate only
+        needs separation, validated vs the brute-force oracle in
+        tests)."""
+        dist = jnp.sqrt(jnp.where(ok, d2, 0.0))
+        w = jnp.max(dist, axis=-1) + 1e-12                   # (c,)
+        bi = jnp.clip((dist / w[..., None] * bins).astype(jnp.int32),
+                      0, bins - 1)
+        cnts, sums = [], []
+        for b in range(bins):
+            mb = ok & (bi == b)
+            cnts.append(mb.sum(-1))
+            sums.append(jnp.where(mb, dist, 0.0).sum(-1))
+        cnt = jnp.stack(cnts, -1).astype(jnp.float32)        # (c, bins)
+        sm = jnp.stack(sums, -1)
+        ccum = jnp.cumsum(cnt, -1)
+        total = ccum[..., -1]
+        m = jnp.minimum(total, jnp.float32(k))               # effective k
+        # take whole bins below the k-threshold, partial straddling bin
+        # at its mean distance
+        need = jnp.clip(m[..., None] - (ccum - cnt), 0.0, cnt)
+        avg_bin = sm / jnp.maximum(cnt, 1.0)
+        md = (need * avg_bin).sum(-1) / jnp.maximum(m, 1.0)
         # Density-consistent correction for truncated neighborhoods: for
         # a locally uniform surface sampling, mean-of-k-NN distance
         # scales as sqrt(k), so points that found only m < k candidates
         # get their statistic extrapolated by sqrt(k/m).  Without this
         # the per-point k varies and the global mu/sigma gate misfires.
-        meff = jnp.minimum(m, k)
-        md = md * jnp.sqrt(jnp.float32(k) / meff.astype(jnp.float32))
-        return md, sel.any(-1)
+        md = md * jnp.sqrt(jnp.float32(k) / jnp.maximum(m, 1.0))
+        return md, total > 0
 
     return fn
 
@@ -103,6 +118,16 @@ def sor_filter(
     mean_d, has = neighbor_map_dense(
         grid, points, valid, cell, _knn_stat(k), dims,
         per_cell=per_cell, chunk=chunk, exclude_self=True)
+    return _sor_gate(mean_d, has, valid, jnp.float32(cell),
+                     jnp.float32(std_thresh))
+
+
+@jax.jit
+def _sor_gate(mean_d, has, valid, cell, std_thresh):
+    """Global mu + thresh*sigma gate, fused into ONE program — run
+    untraced, these ~10 scalar-reduce dispatches each pay a cold relay
+    compile on the tunneled TPU (sor_filter measured 430 s end-to-end
+    while its neighbor map took 5 s; tools/repro_knn_variants.py)."""
     has_nb = has & valid
 
     # PCL's exact kNN always finds k neighbors, so isolated points feed
@@ -115,8 +140,7 @@ def sor_filter(
     mu = jnp.where(valid, imputed, 0.0).sum() / denom
     var = jnp.where(valid, (imputed - mu) ** 2, 0.0).sum() / denom
     sigma = jnp.sqrt(var)
-    keep = valid & has_nb & (mean_d <= mu + std_thresh * sigma)
-    return keep
+    return valid & has_nb & (mean_d <= mu + std_thresh * sigma)
 
 
 def _count_fn(q, cand, cpts, d2, ok):

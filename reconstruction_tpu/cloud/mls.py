@@ -64,6 +64,14 @@ def mls_smooth(
     mean, cov, any_ok = neighbor_map_dense(
         grid, points, valid, radius, _plane_stat(radius), dims,
         per_cell=per_cell, chunk=chunk)
+    return _mls_epilogue(points, valid, mean, cov, any_ok, prev_normals)
+
+
+@jax.jit
+def _mls_epilogue(points, valid, mean, cov, any_ok, prev_normals):
+    """Eigen + plane projection + re-orientation in ONE program
+    (untraced tails pay a cold relay compile per op on the tunneled
+    TPU)."""
     _, n = smallest_eigenvector_3x3(cov)
 
     # Project each point onto its local plane.

@@ -87,8 +87,14 @@ def estimate_normals(
                             pad=per_cell)
     cov = neighbor_map_dense(grid, points, valid, radius, _cov_stat, dims,
                              per_cell=per_cell, chunk=chunk)
-    _, normals = smallest_eigenvector_3x3(cov)
+    return _normals_epilogue(cov, points, jnp.asarray(viewpoint, jnp.float32))
 
-    to_cam = jnp.asarray(viewpoint, jnp.float32)[None, :] - points
+
+@jax.jit
+def _normals_epilogue(cov, points, viewpoint):
+    """Eigen + camera flip in ONE program (untraced tails pay a cold
+    relay compile per op on the tunneled TPU)."""
+    _, normals = smallest_eigenvector_3x3(cov)
+    to_cam = viewpoint[None, :] - points
     flip = jnp.sum(normals * to_cam, -1) < 0
     return jnp.where(flip[:, None], -normals, normals)

@@ -25,6 +25,9 @@ def main():
         return 1
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+    # Cache even sub-second compiles: each uncached program pays a
+    # multi-second relay round trip on the tunneled chip.
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
     cmd = [sys.executable] + sys.argv[1:]
     print(f"[tpu_run] launching {cmd[1:]} (will block until the chip "
           f"grant arrives; do not kill)", file=sys.stderr, flush=True)
