@@ -50,15 +50,21 @@ def mls_smooth(
     prev_normals: jnp.ndarray,
     per_cell: int = 8,
     chunk: int = 4096,
+    host_points: np.ndarray | None = None,
+    host_valid: np.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (smoothed points, normals, valid).
 
     Points with no neighbors in radius are dropped (PCL MLS likewise
     produces no output sample for them).
+
+    host_points/host_valid: optional host copies for sync-free grid
+    geometry (see sor_filter).
     """
     radius = float(radius)
-    origin, dims, cell = host_grid_geometry(np.asarray(points),
-                                            np.asarray(valid), radius)
+    origin, dims, cell = host_grid_geometry(
+        np.asarray(points) if host_points is None else host_points,
+        np.asarray(valid) if host_valid is None else host_valid, radius)
     grid = build_dense_grid(points, valid, origin, cell, dims,
                             pad=per_cell)
     mean, cov, any_ok = neighbor_map_dense(

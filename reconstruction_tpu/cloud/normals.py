@@ -77,12 +77,21 @@ def estimate_normals(
     viewpoint: jnp.ndarray,
     per_cell: int = 8,
     chunk: int = 4096,
+    host_points: np.ndarray | None = None,
+    host_valid: np.ndarray | None = None,
 ) -> jnp.ndarray:
     """Covariance normals within ``radius``, flipped toward ``viewpoint``
-    (the pair's camera center, `CCloudOptimization.cpp:117-120`)."""
+    (the pair's camera center, `CCloudOptimization.cpp:117-120`).
+
+    host_points/host_valid: optional host copies for sync-free grid
+    geometry (see sor_filter).  host_valid may be a SUPERSET of the
+    device ``valid`` mask (e.g. the pre-SOR validity): the bbox only
+    needs to cover the queries, and the quantile box guards outliers.
+    """
     radius = float(radius)
-    origin, dims, cell = host_grid_geometry(np.asarray(points),
-                                            np.asarray(valid), radius)
+    origin, dims, cell = host_grid_geometry(
+        np.asarray(points) if host_points is None else host_points,
+        np.asarray(valid) if host_valid is None else host_valid, radius)
     grid = build_dense_grid(points, valid, origin, cell, dims,
                             pad=per_cell)
     cov = neighbor_map_dense(grid, points, valid, radius, _cov_stat, dims,

@@ -64,6 +64,11 @@ class StereoParams:
     # "xla" (mini-CV select path) or "pallas" (temporally-blocked VMEM
     # kernel, ops/refine_pallas.py; 0.147 s vs 0.235 s at 1920x1280).
     refine_impl: str = "auto"
+    # Window re-centering cadence for the refine drift budget: -1 = auto
+    # (ONE mid-run re-extraction — raises the usable drift budget from
+    # the +-12-slot mini window toward the banded volume's +-16 margin
+    # for ~0.24 s extra at 1920x1280), 0 = off, k > 0 = every k sweeps.
+    refine_recenter_every: int = -1
 
 
 @dataclass(frozen=True)
@@ -127,8 +132,15 @@ class SurfaceParams:
     laplacian_cotangent: bool = True
     # Close holes up to this boundary-edge count (`script2.mlx`, 30).
     close_holes_max_edges: int = 30
-    # Per-pair surface trim smoothing (SurfaceTrimmer --smooth 100).
+    # Surface trim smoothing iterations (SurfaceTrimmer --smooth 100,
+    # `Demo/mesh.bat:2`) — passed to density_trim by BOTH the per-pair
+    # and the global mesh paths.
     trim_smooth_iters: int = 100
+    # Per-pair Poisson grid (reference: depth 9 ~= 512^3 effective,
+    # `Demo/mesh.bat:1`).  0 = use grid_resolution (r2 silently capped
+    # this at 192^3; the fidelity table in BENCH_NOTES.md shows RMSE
+    # halves per doubling, so the cap is now explicit config).
+    pair_grid_resolution: int = 0
 
 
 @dataclass(frozen=True)

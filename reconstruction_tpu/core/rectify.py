@@ -72,6 +72,10 @@ class RectifyResult:
       P1_world, P2_world: world -> scaled rectified pixels, i.e. the
          reference's `cam[j].P` after `P = P*Extrinsic_final`
          (`CStereoMatching.cpp:145`), used for texture projection.
+      C2_world: camera 1's world center -R1^T t1 (`CManageData.cpp:63`
+         computes it per camera) — needed so the SECOND scan of each pair
+         can weight into the final texture like `Demo/scans.txt`'s
+         2-per-pair contract.
       baseline_axis: 0 for horizontal epipolar lines, 1 for vertical.
     """
 
@@ -86,6 +90,7 @@ class RectifyResult:
     P2_scaled: np.ndarray
     P1_world: np.ndarray
     P2_world: np.ndarray
+    C2_world: np.ndarray
     baseline_axis: int
 
 
@@ -260,5 +265,6 @@ def rectify_pair(
         R_final=R_final, T_final=T_final,
         P1_scaled=P1_scaled, P2_scaled=P2_scaled,
         P1_world=P1_world, P2_world=P2_world,
+        C2_world=-R1w.T @ t1,
         baseline_axis=idx,
     )

@@ -33,7 +33,8 @@ from reconstruction_tpu.config import NOMATCH
 from reconstruction_tpu.stereo.margins import Margins, inner_box
 from reconstruction_tpu.stereo.refine import (_banded_cost_volume,
                                               _window_slots_binshift,
-                                              disparity_refine)
+                                              disparity_refine,
+                                              resolve_recenter)
 
 MINI = 32       # window slots (same as the XLA mini-CV path)
 CENTER = 16     # slot of the initial center candidate
@@ -104,7 +105,7 @@ def _segment_kernel(T: int, block: int, halo: int, W: int):
 
 
 @partial(jax.jit, static_argnames=("iterations", "s_cap", "band", "T",
-                                   "block", "interpret"))
+                                   "block", "interpret", "recenter_every"))
 def disparity_refine_pallas(
     disp: jnp.ndarray,
     imgL: jnp.ndarray,
@@ -117,33 +118,34 @@ def disparity_refine_pallas(
     T: int = 10,
     block: int = 16,
     interpret: bool = False,
+    recenter_every: int = 0,
 ) -> jnp.ndarray:
     """Drop-in alternative to `stereo.refine.disparity_refine`
     (bit-equal to its default mini-CV path).
 
     Requires iterations % T == 0 (the reference budgets 30+30*level,
     all divisible by the default T=10); falls back to the XLA path
-    otherwise.  block=16 keeps the (MINI, block+2T, W) window slab
-    within scoped VMEM (16 MB incl. pipeline double-buffering) at
-    W=1280.
+    otherwise, as does a recenter_every not aligned to T (the auto
+    value from resolve_recenter always is).  block=16 keeps the
+    (MINI, block+2T, W) window slab within scoped VMEM (16 MB incl.
+    pipeline double-buffering) at W=1280.
+
+    recenter_every=k re-extracts the per-pixel window from the banded
+    volume at the current anchors every k sweeps (k a multiple of T),
+    chunking the segment loop exactly like the XLA scan path so the two
+    stay bit-equal; -1 = auto (one mid-run re-extraction).
     """
-    if iterations % T != 0:
+    recenter_every = resolve_recenter(iterations, recenter_every, T)
+    if iterations % T != 0 or (recenter_every > 0
+                               and recenter_every % T != 0):
         return disparity_refine(disp, imgL, imgR, m, iterations, ws,
-                                s_cap, band)
+                                s_cap, band, recenter_every=recenter_every)
     H, W = disp.shape
     band = min(band, H)
     block = min(block, H)
     d0 = disp.astype(jnp.float32)
     cv, base = _banded_cost_volume(imgL, imgR, d0, s_cap, band)
     inner = inner_box(m, H, W, inset=1).astype(jnp.float32)
-
-    # Fixed per-pixel window at the segment-0 anchors — identical to the
-    # XLA mini-CV path, so all segments share one window (no per-segment
-    # re-centering, no gathers anywhere).
-    c00 = jnp.trunc(d0 - 1.5)
-    jref = c00
-    jbig0 = (c00.astype(jnp.int32) + 2) - base[:, None]
-    cvm = _window_slots_binshift(cv, jbig0 - CENTER, MINI, s_cap)
 
     halo = T
     nb = -(-H // block)
@@ -159,14 +161,21 @@ def disparity_refine_pallas(
     starts = (jnp.arange(nb) * block)[:, None] + jnp.arange(
         block + 2 * halo)[None, :]
 
-    # Band the loop-invariant operands ONCE (the segment loop only
-    # re-bands the disparity map).  Mini axis to the front: a trailing
-    # 32-wide axis would pad to 128 lanes and blow VMEM 4x.
-    cv_h = halo_rows(cvm, 0.5)[starts].transpose(0, 3, 1, 2)
-    jref_h = halo_rows(jref, 0.0)[starts]
+    def extract_window(d):
+        """Per-pixel 32-slot window at d's anchors (same gather-free
+        extractor as the XLA mini-CV path), banded into halo'd row
+        slabs.  Mini axis to the front: a trailing 32-wide axis would
+        pad to 128 lanes and blow VMEM 4x."""
+        c00 = jnp.trunc(d - 1.5)
+        jbig0 = (c00.astype(jnp.int32) + 2) - base[:, None]
+        cvm = _window_slots_binshift(cv, jbig0 - CENTER, MINI, s_cap)
+        cv_h = halo_rows(cvm, 0.5)[starts].transpose(0, 3, 1, 2)
+        jref_h = halo_rows(c00, 0.0)[starts]
+        return cv_h, jref_h
+
     inner_h = halo_rows(inner, 0.0)[starts]
 
-    def segment(_, d):
+    def segment(d, cv_h, jref_h):
         d_h = halo_rows(d, float(NOMATCH))[starts]           # (nb, B+2h, W)
         out = pl.pallas_call(
             kernel,
@@ -190,4 +199,15 @@ def disparity_refine_pallas(
         )(d_h, cv_h, jref_h, inner_h, ws_arr)
         return out.reshape(Hp, W)[:H]
 
-    return jax.lax.fori_loop(0, n_seg, segment, d0)
+    # Chunk segments so every group re-extracts the window at its start
+    # (group sizes mirror the XLA scan path's chunking for bit-equality).
+    seg_per_chunk = (recenter_every // T if recenter_every > 0 else n_seg)
+    d = d0
+    done = 0
+    while done < n_seg:
+        n = min(seg_per_chunk, n_seg - done)
+        cv_h, jref_h = extract_window(d)
+        d = jax.lax.fori_loop(
+            0, n, lambda _, dd, c=cv_h, j=jref_h: segment(dd, c, j), d)
+        done += n
+    return d

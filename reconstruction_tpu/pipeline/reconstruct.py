@@ -147,23 +147,45 @@ def reconstruct(
                 block_ready(res.cloud)  # spans are honest under async dispatch
             cloud = res.cloud
             with timer.span(f"pair{pi}/filter"):
+                # ONE device->host sync per pair: both stage grids take
+                # their geometry from this host copy (the three separate
+                # in-stage transfers serialized the pair loop, VERDICT
+                # r2 weak #5; pre-SOR validity is a superset bbox, fine
+                # for the normals grid).
+                host_xyz = np.asarray(cloud.xyz, np.float32)
+                host_valid = np.asarray(cloud.valid).astype(bool)
                 # SOR (`CCloudOptimization.cpp:82-86`)
                 keep = sor_filter(cloud.xyz, cloud.valid,
                                   mean_k=cfg.cloud.sor_mean_k,
-                                  std_thresh=cfg.cloud.sor_std_thresh)
+                                  std_thresh=cfg.cloud.sor_std_thresh,
+                                  host_points=host_xyz,
+                                  host_valid=host_valid)
                 # normals + flip toward the pair camera (`:101-121`)
                 center = jnp.asarray(res.rectification.T_final, jnp.float32)
                 nrm_j = estimate_normals(cloud.xyz, keep,
                                          radius=cfg.cloud.mls_radius,
-                                         viewpoint=center)
+                                         viewpoint=center,
+                                         host_points=host_xyz,
+                                         host_valid=host_valid)
                 block_ready((keep, nrm_j))
             keepn = np.asarray(keep)
-            xyz = np.asarray(cloud.xyz)[keepn]
+            xyz = host_xyz[keepn]
             nrm = np.asarray(nrm_j)[keepn]
             col = np.asarray(cloud.colors)[keepn]
             mask0 = None
+            drift_max = float(res.refine_drift.max())
             stats.add(f"pair{pi}", raw_points=int(np.asarray(cloud.valid).sum()),
-                      kept_points=len(xyz))
+                      kept_points=len(xyz),
+                      refine_drift_max=round(drift_max, 2))
+            # Mini-CV refine window budget: ~+-12 slots of the anchors
+            # (re-centered mid-run by default).  Past it the refine read
+            # neutral costs — the capture is pathological for the banded
+            # formulation; surface it instead of silently diverging.
+            if drift_max > 12.0:
+                log.warning(
+                    "pair %d: refine drift %.1f slots exceeds the mini-CV "
+                    "window budget (~12); raise refine_recenter_every "
+                    "cadence or the banded drift margin", pi, drift_max)
             if cfg.isoutput and artifact_dir:
                 os.makedirs(artifact_dir, exist_ok=True)
                 write_ply(os.path.join(artifact_dir, f"cloud{pi}.ply"),
@@ -208,10 +230,14 @@ def reconstruct(
     if cfg.cloud.dedup and live_results:
         with timer.span("dedup"):
             finest = cfg.pyramid_levels - 1
+            # Real ERODED rectified cam0 masks gate the bucket
+            # candidates, the reference's `CCloudOptimization.cpp:
+            # 186-193,217` semantics (its `cam.mask` is the eroded
+            # rectified mask; r2 shipped dummy all-ones masks here).
             ctx = build_dedup_inputs(
                 live_results,
-                [np.ones(cfg.finest_size[::-1], np.float32) * 255
-                 for _ in live_results])
+                [r.rect_masks_eroded[0].astype(np.float32)
+                 for r in live_results])
             valid = np.asarray(cross_view_dedup(
                 jnp.asarray(xyz), jnp.asarray(nrm), jnp.asarray(valid), ctx))
             stats.add("dedup", kept=int(valid.sum()))
@@ -219,7 +245,8 @@ def reconstruct(
     # MLS (`CCloudOptimization.cpp:350-364`) + re-orientation.
     with timer.span("mls"):
         sm, nrm_j, ok = mls_smooth(jnp.asarray(xyz), jnp.asarray(valid),
-                                   cfg.cloud.mls_radius, jnp.asarray(nrm))
+                                   cfg.cloud.mls_radius, jnp.asarray(nrm),
+                                   host_points=xyz, host_valid=valid)
         okn = np.asarray(ok)
         xyz_s = np.asarray(sm)[okn]
         nrm_s = np.asarray(nrm_j)[okn]
@@ -245,7 +272,8 @@ def reconstruct(
         vg = (verts - np.asarray(pres.origin)) / float(pres.spacing)
         dens = vertex_density(np.asarray(pres.density), vg)
         verts, faces = density_trim(verts, faces, dens,
-                                    quantile=cfg.surface.trim_quantile)
+                                    quantile=cfg.surface.trim_quantile,
+                                    smooth_iters=cfg.surface.trim_smooth_iters)
         verts, faces = remove_small_components(
             verts, faces, cfg.surface.min_component_diag_frac)
         verts, faces = clean_mesh(verts, faces)
@@ -266,10 +294,17 @@ def reconstruct(
             # textures sample the working-resolution rectified images via
             # the reference's world->scaled-pixel P (`CStereoMatching.cpp:145`)
             # — reusing the remap already computed inside match_pair.
+            # BOTH cameras of the pair contribute, matching the
+            # reference's 2-scans-per-pair TextureStitcher input
+            # (`Demo/scans.txt:1-20`, `CCloudOptimization.cpp:396`).
             cams.append((res.rectification.P1_world,
                          res.rect_images[0].astype(np.float32),
                          res.rect_masks[0].astype(np.float32),
                          res.rectification.T_final))
+            cams.append((res.rectification.P2_world,
+                         res.rect_images[1].astype(np.float32),
+                         res.rect_masks[1].astype(np.float32),
+                         res.rectification.C2_world))
         colors = (texture_vertices(verts, vnorm, cams) if cams
                   else np.full((len(verts), 3), 127.0))
     if output_path:

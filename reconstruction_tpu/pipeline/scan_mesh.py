@@ -43,9 +43,10 @@ def pair_scan_mesh(
     `color_<pair>_{0,1}.ply` under out_dir when given (the reference's
     `tmp/` scan artifacts)."""
     valid = jnp.asarray(np.ones(len(xyz), bool))
+    pair_res = cfg.surface.pair_grid_resolution or cfg.surface.grid_resolution
     res = poisson_reconstruct(
         jnp.asarray(xyz, jnp.float32), jnp.asarray(normals, jnp.float32),
-        valid, resolution=min(cfg.surface.grid_resolution, 192),
+        valid, resolution=pair_res,
         cycles=cfg.surface.mg_cycles, point_weight=cfg.surface.point_weight)
     verts, faces = marching_tetrahedra(
         np.asarray(res.chi), float(res.iso),
@@ -53,7 +54,8 @@ def pair_scan_mesh(
     vg = (verts - np.asarray(res.origin)) / float(res.spacing)
     dens = vertex_density(np.asarray(res.density), vg)
     verts, faces = density_trim(verts, faces, dens,
-                                quantile=cfg.surface.trim_quantile)
+                                quantile=cfg.surface.trim_quantile,
+                                smooth_iters=cfg.surface.trim_smooth_iters)
     verts, faces = remove_small_components(
         verts, faces, cfg.surface.min_component_diag_frac)
     verts, faces = clean_mesh(verts, faces)

@@ -42,11 +42,18 @@ class LevelState(NamedTuple):
 
     disp0: jnp.ndarray  # view0 -> view1
     disp1: jnp.ndarray  # view1 -> view0
+    # Realized refine drift telemetry: max |d_refined - d_pre_refine|
+    # over pixels valid in both (scalar, slots).  Surfaces stale-window
+    # captures: the mini-CV window covers ~+-12 slots of its anchors and
+    # the banded volume ~+-16 beyond the band range, so drift
+    # approaching those budgets means the refine read neutral costs.
+    refine_drift0: Optional[jnp.ndarray] = None
+    refine_drift1: Optional[jnp.ndarray] = None
 
 
 @partial(jax.jit, static_argnames=("level", "radius", "offset", "ws",
                                    "refine_iters", "median_iters", "s_cap",
-                                   "refine_impl"))
+                                   "refine_impl", "recenter_every"))
 def match_one_level(
     img0: jnp.ndarray,
     img1: jnp.ndarray,
@@ -61,6 +68,7 @@ def match_one_level(
     median_iters: int = 1,
     s_cap: int = 128,
     refine_impl: str = "auto",
+    recenter_every: int = -1,
 ) -> LevelState:
     """One pyramid level for both directions (`MatchOneLayer`,
     `CStereoMatching.cpp:36-113`)."""
@@ -99,17 +107,27 @@ def match_one_level(
     d0 = median_filter(d0, v0, m0, median_iters)
     d1 = median_filter(d1, v1, m1, median_iters)
 
+    pre0, pre1 = d0, d1
     if refine_impl == "pallas":
         from reconstruction_tpu.ops.refine_pallas import disparity_refine_pallas
         d0 = disparity_refine_pallas(d0, img0, img1, m0, refine_iters, ws,
-                                     s_cap)
+                                     s_cap, recenter_every=recenter_every)
         d1 = disparity_refine_pallas(d1, img1, img0, m1, refine_iters, ws,
-                                     s_cap)
+                                     s_cap, recenter_every=recenter_every)
     else:
-        d0 = disparity_refine(d0, img0, img1, m0, refine_iters, ws, s_cap)
-        d1 = disparity_refine(d1, img1, img0, m1, refine_iters, ws, s_cap)
+        d0 = disparity_refine(d0, img0, img1, m0, refine_iters, ws, s_cap,
+                              recenter_every=recenter_every)
+        d1 = disparity_refine(d1, img1, img0, m1, refine_iters, ws, s_cap,
+                              recenter_every=recenter_every)
+
+    def drift(pre, post):
+        ok = (pre != NOMATCH) & (post != NOMATCH)
+        return jnp.max(jnp.where(ok, jnp.abs(post - pre), 0.0))
+
+    drift0, drift1 = drift(pre0, d0), drift(pre1, d1)
     d0, d1 = uniqueness_constraint(d0, d1, m0, m1)
-    return LevelState(disp0=d0, disp1=d1)
+    return LevelState(disp0=d0, disp1=d1,
+                      refine_drift0=drift0, refine_drift1=drift1)
 
 
 @dataclass
@@ -127,6 +145,14 @@ class PairResult:
     # texture stage: 2.5M-pixel gathers x 8 arrays).
     rect_images: Tuple[np.ndarray, np.ndarray] = None
     rect_masks: Tuple[np.ndarray, np.ndarray] = None
+    # Per-level realized refine drift, (levels, 2 directions) slots —
+    # telemetry for the mini-CV window budget (see LevelState).
+    refine_drift: np.ndarray = None
+    # Eroded rectified masks (the reference's in-place `cam.mask` after
+    # `CStereoMatching.cpp:157-158`) — dedup's bucket gate reads THESE
+    # (`CCloudOptimization.cpp:188,217`), while texturing wants the
+    # pre-erosion coverage above.
+    rect_masks_eroded: Tuple[np.ndarray, np.ndarray] = None
 
 
 def match_pair(
@@ -173,6 +199,7 @@ def match_pair(
     mpyr1 = [quantize_u8(m) for m in build_pyramid(masks[1], cfg.pyramid_levels)]
 
     state: Optional[LevelState] = None
+    drifts = []
     for level in range(cfg.pyramid_levels):
         state = match_one_level(
             quantize_u8(pyr0[level]), quantize_u8(pyr1[level]),
@@ -183,7 +210,9 @@ def match_pair(
             refine_iters=cfg.refine_iterations(level),
             median_iters=cfg.stereo.median_iterations,
             refine_impl=cfg.stereo.refine_impl,
+            recenter_every=cfg.stereo.refine_recenter_every,
         )
+        drifts.append((state.refine_drift0, state.refine_drift1))
 
     finest = cfg.pyramid_levels - 1
     v0 = valid_mask(mpyr0[finest])
@@ -205,4 +234,7 @@ def match_pair(
                      np.asarray(imgs[1]).astype(np.uint8)),
         rect_masks=(np.asarray(quantize_u8(raw_masks[0])).astype(np.uint8),
                     np.asarray(quantize_u8(raw_masks[1])).astype(np.uint8)),
+        refine_drift=np.asarray(drifts, np.float32),
+        rect_masks_eroded=(np.asarray(quantize_u8(masks[0])).astype(np.uint8),
+                           np.asarray(quantize_u8(masks[1])).astype(np.uint8)),
     )

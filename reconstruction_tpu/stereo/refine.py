@@ -127,6 +127,21 @@ def _banded_cost_volume(
     return cv, base
 
 
+def resolve_recenter(iterations: int, recenter_every: int,
+                     t: int = 10) -> int:
+    """Resolve the recenter_every knob: -1 (auto) = ONE mid-run window
+    re-extraction, rounded up to a multiple of ``t`` so the Pallas
+    T-segment path (ops/refine_pallas.py, T=10) chunks identically to
+    the XLA scan path and stays bit-equal; 0 = never recenter; k > 0 =
+    every k sweeps.  One re-extraction (the gather-free binshift) costs
+    ~0.24 s at 1920x1280 — affordable once per run, while k=10 at
+    level-3 iteration counts would triple the refine stage."""
+    if recenter_every == -1:
+        half = -(-max(iterations // 2, 1) // t) * t
+        return half if half < iterations else 0
+    return recenter_every
+
+
 @partial(jax.jit, static_argnames=("iterations", "s_cap", "band",
                                    "use_minicv", "drift", "recenter_every"))
 def disparity_refine(
@@ -163,8 +178,10 @@ def disparity_refine(
     the banded volume at the current anchors every k iterations, raising
     the usable budget to the banded volume's own ``drift`` margin
     (property-tested against the full-recompute oracle in
-    tests/test_stereo_stages.py).
+    tests/test_stereo_stages.py); -1 = auto (one mid-run re-extraction,
+    see resolve_recenter).
     """
+    recenter_every = resolve_recenter(iterations, recenter_every)
     H, W = disp.shape
     band = min(band, H)
     # dtype follows the input disparity: float32 in production, float64

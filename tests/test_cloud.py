@@ -61,6 +61,49 @@ def test_sor_removes_outliers(rng):
     assert keep[4000:].mean() < 0.2
 
 
+def test_knn_stat_matches_bruteforce_mean(rng):
+    """The histogram k-NN statistic (filters._knn_stat) tracks the exact
+    brute-force mean-of-kNN distance within a few percent — a direct
+    accuracy gate so a bins/k change can't silently drift the SOR
+    statistic (prior tests only asserted behavioral outlier removal)."""
+    from reconstruction_tpu.cloud.filters import _knn_stat, _mean_spacing
+    from reconstruction_tpu.cloud.neighbors import (
+        build_dense_grid, host_grid_geometry, neighbor_map_dense)
+
+    pts = _surface_cloud(rng, 4000, noise=0.003)
+    valid = np.ones(len(pts), bool)
+    k = 30
+    spacing = _mean_spacing(pts, valid)
+    cell = spacing * float(np.sqrt(k)) * 0.6 + 1e-6
+    origin, dims, cell = host_grid_geometry(pts, valid, cell)
+    grid = build_dense_grid(jnp.asarray(pts), jnp.asarray(valid),
+                            origin, cell, dims, pad=32)
+    got, has = neighbor_map_dense(
+        grid, jnp.asarray(pts), jnp.asarray(valid), cell,
+        _knn_stat(k), dims, per_cell=32, chunk=512, exclude_self=True)
+    got, has = np.asarray(got), np.asarray(has)
+
+    D2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(D2, np.inf)
+    rel = []
+    for i in range(0, len(pts), 53):
+        # Brute-force statistic under the SAME radius bound + density
+        # correction the streamed statistic applies.
+        d = np.sqrt(np.sort(D2[i])[: 10 * k])
+        d = d[d <= cell]
+        if len(d) == 0 or not has[i]:
+            continue
+        m = min(len(d), k)
+        want = d[:m].mean() * np.sqrt(k / m)
+        rel.append(abs(got[i] - want) / want)
+    rel = np.asarray(rel)
+    assert len(rel) > 50
+    # histogram bins are narrow: each point within a few percent, the
+    # population mean much tighter
+    assert rel.max() < 0.06, rel.max()
+    assert rel.mean() < 0.02, rel.mean()
+
+
 def test_normals_on_plane(rng):
     xy = rng.uniform(-1, 1, size=(2000, 2))
     pts = np.column_stack([xy, 0.2 * xy[:, 0] + 0.1 * xy[:, 1]]).astype(np.float32)
