@@ -399,6 +399,10 @@ def orchestrate():
     """Default entry: one subprocess per phase (own grant window), one
     retry each, merge surviving phases into the single JSON line."""
     import subprocess
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from tpu_run import prune_cache
+    prune_cache("/root/repo/.jax_cache")
 
     mode = os.environ.get("RECON_BENCH_MODE", "full")
     phases = (["stereo"] if mode == "stereo"

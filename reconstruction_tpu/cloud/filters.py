@@ -109,6 +109,7 @@ def sor_filter(
     chunk: int = 4096,
     host_points: np.ndarray | None = None,
     host_valid: np.ndarray | None = None,
+    backend: str = "auto",
 ) -> jnp.ndarray:
     """Returns the updated validity mask (outliers dropped).
 
@@ -116,7 +117,12 @@ def sor_filter(
     grid geometry costs no device->host sync (the orchestrator already
     holds the cloud on host; without these each cloud stage paid its own
     blocking transfer inside the per-pair loop — VERDICT r2 weak #5).
+
+    backend: "jax" (streaming device neighbor reduce), "native"
+    (C++/OpenMP exact k-NN, returns a NUMPY mask with zero device
+    traffic) or "auto" (cloud/backend.py).
     """
+    from reconstruction_tpu.cloud.backend import resolve_backend
     pts_np = (np.asarray(points, np.float32) if host_points is None
               else host_points)
     v_np = (np.asarray(valid).astype(bool) if host_valid is None
@@ -124,6 +130,12 @@ def sor_filter(
     spacing = _mean_spacing(pts_np, v_np)
     # Cell sized so 27 cells usually hold >= mean_k candidates.
     cell = spacing * float(np.sqrt(mean_k)) * 0.6 + 1e-6
+    if resolve_backend(backend) == "native":
+        from reconstruction_tpu import native
+        mean_d, has = native.cloud_sor_stats(pts_np, v_np, float(cell),
+                                             mean_k)
+        return _sor_gate_np(mean_d, has, v_np, float(cell),
+                            float(std_thresh))
     origin, dims, cell = host_grid_geometry(pts_np, v_np, cell)
     grid = build_dense_grid(points, valid, origin, cell, dims,
                             pad=per_cell)
@@ -133,6 +145,17 @@ def sor_filter(
         per_cell=per_cell, chunk=chunk, exclude_self=True)
     return _sor_gate(mean_d, has, valid, jnp.float32(cell),
                      jnp.float32(std_thresh))
+
+
+def _sor_gate_np(mean_d, has, valid, cell, std_thresh):
+    """Numpy twin of _sor_gate (same imputation + mu/sigma formula)."""
+    has_nb = has & valid
+    imputed = np.where(valid & ~has_nb, 10.0 * cell, mean_d)
+    denom = max(int(valid.sum()), 1)
+    mu = float(np.where(valid, imputed, 0.0).sum()) / denom
+    sigma = float(np.sqrt(np.where(valid, (imputed - mu) ** 2, 0.0).sum()
+                          / denom))
+    return valid & has_nb & (mean_d <= mu + std_thresh * sigma)
 
 
 @jax.jit

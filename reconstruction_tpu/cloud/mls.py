@@ -52,6 +52,7 @@ def mls_smooth(
     chunk: int = 4096,
     host_points: np.ndarray | None = None,
     host_valid: np.ndarray | None = None,
+    backend: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (smoothed points, normals, valid).
 
@@ -59,9 +60,19 @@ def mls_smooth(
     produces no output sample for them).
 
     host_points/host_valid: optional host copies for sync-free grid
-    geometry (see sor_filter).
+    geometry (see sor_filter).  backend "native" runs the C++ exact
+    path on host and returns NUMPY arrays.
     """
+    from reconstruction_tpu.cloud.backend import resolve_backend
     radius = float(radius)
+    if resolve_backend(backend) == "native":
+        from reconstruction_tpu import native
+        pts_np = (np.asarray(points, np.float32) if host_points is None
+                  else host_points)
+        v_np = (valid if isinstance(valid, np.ndarray)
+                else np.asarray(valid).astype(bool))
+        return native.cloud_mls(pts_np, v_np, radius,
+                                np.asarray(prev_normals, np.float32))
     origin, dims, cell = host_grid_geometry(
         np.asarray(points) if host_points is None else host_points,
         np.asarray(valid) if host_valid is None else host_valid, radius)

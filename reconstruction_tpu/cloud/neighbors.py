@@ -192,28 +192,31 @@ class DenseGrid(NamedTuple):
     cell: jnp.ndarray        # scalar
 
 
-def robust_bbox(pts: np.ndarray, quantile: float = 1e-3):
+def robust_bbox(pts: np.ndarray, quantile: float = 5e-3):
     """Per-axis outlier-robust bounding box: the [q, 1-q] quantile box
-    INTERSECTED with the Tukey-style [Q25 - 3 IQR, Q75 + 3 IQR] fence.
+    INTERSECTED with the Tukey fence [Q25 - 1.5 IQR, Q75 + 1.5 IQR].
 
     The quantile box alone breaks as soon as the outlier fraction
     exceeds q (an r3 repro with 0.5% spikes at +-60 units blew the cell
     size 500x past the point spacing); the IQR fence is immune up to
-    25% contamination, while the quantile box keeps it from cropping a
-    heavy-tailed but clean cloud.  ``pts`` may be a subsample.
+    25% contamination, while the quantile box keeps the fence from
+    over-covering short-tailed distributions (for a uniform axis the
+    1.5 IQR fence alone is 2x the true extent).  Points outside the box
+    clamp into border cells; the d2 <= r^2 candidate check and their
+    own garbage statistics handle them.  ``pts`` may be a subsample.
     """
     lo_q = np.quantile(pts, quantile, axis=0)
     hi_q = np.quantile(pts, 1.0 - quantile, axis=0)
     q25 = np.quantile(pts, 0.25, axis=0)
     q75 = np.quantile(pts, 0.75, axis=0)
     iqr = np.maximum(q75 - q25, 1e-6)
-    lo = np.maximum(lo_q, q25 - 3.0 * iqr)
-    hi = np.minimum(hi_q, q75 + 3.0 * iqr)
+    lo = np.maximum(lo_q, q25 - 1.5 * iqr)
+    hi = np.minimum(hi_q, q75 + 1.5 * iqr)
     return lo, hi
 
 
 def host_grid_geometry(points, valid, cell, round_to=32,
-                       max_cells=32_000_000, quantile=1e-3):
+                       max_cells=32_000_000, quantile=5e-3):
     """Host-side grid geometry: origin (np (3,)), STATIC dims tuple, and
     the cell size actually used (>= requested).
 

@@ -79,6 +79,7 @@ def estimate_normals(
     chunk: int = 4096,
     host_points: np.ndarray | None = None,
     host_valid: np.ndarray | None = None,
+    backend: str = "auto",
 ) -> jnp.ndarray:
     """Covariance normals within ``radius``, flipped toward ``viewpoint``
     (the pair's camera center, `CCloudOptimization.cpp:117-120`).
@@ -87,8 +88,22 @@ def estimate_normals(
     geometry (see sor_filter).  host_valid may be a SUPERSET of the
     device ``valid`` mask (e.g. the pre-SOR validity): the bbox only
     needs to cover the queries, and the quantile box guards outliers.
+
+    backend "native" runs the C++ exact-radius path on host and returns
+    a NUMPY array (zero device traffic); it needs the QUERY validity on
+    host, so it uses np.asarray(valid) (cheap relative to the stage)
+    unless valid is already host-resident.
     """
+    from reconstruction_tpu.cloud.backend import resolve_backend
     radius = float(radius)
+    if resolve_backend(backend) == "native":
+        from reconstruction_tpu import native
+        pts_np = (np.asarray(points, np.float32) if host_points is None
+                  else host_points)
+        v_np = (valid if isinstance(valid, np.ndarray)
+                else np.asarray(valid).astype(bool))
+        return native.cloud_normals(pts_np, v_np, radius,
+                                    np.asarray(viewpoint, np.float32))
     origin, dims, cell = host_grid_geometry(
         np.asarray(points) if host_points is None else host_points,
         np.asarray(valid) if host_valid is None else host_valid, radius)

@@ -90,6 +90,10 @@ class CloudParams:
     mls_poly_order: int = 1
     # Cross-view dedup enabled (`isdelete`, `CReconstruction.cpp:18` false).
     dedup: bool = False
+    # Cloud-stage backend: "jax" (device voxel-grid reduces), "native"
+    # (C++/OpenMP exact k-NN on host) or "auto" (native on the tunneled
+    # single-chip relay, jax elsewhere — cloud/backend.py).
+    backend: str = "auto"
     # Fixed-capacity padding for TPU-side point buffers: points per pair.
     max_points_per_pair: int = 1 << 21
     # Neighbor-search voxel capacity (padded gathers).

@@ -46,8 +46,19 @@ def load() -> Optional[ctypes.CDLL]:
         lib.ply_pack_faces.argtypes = [
             ctypes.c_long, ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint8)]
+        cfp = ctypes.POINTER(ctypes.c_float)
+        cup = ctypes.POINTER(ctypes.c_uint8)
+        lib.cloud_sor_stats.restype = None
+        lib.cloud_sor_stats.argtypes = [
+            cfp, cup, ctypes.c_long, ctypes.c_float, ctypes.c_int, cfp, cup]
+        lib.cloud_normals.restype = None
+        lib.cloud_normals.argtypes = [
+            cfp, cup, ctypes.c_long, ctypes.c_float, cfp, cfp]
+        lib.cloud_mls.restype = None
+        lib.cloud_mls.argtypes = [
+            cfp, cup, ctypes.c_long, ctypes.c_float, cfp, cfp, cfp, cup]
         _LIB = lib
-    except OSError:
+    except (OSError, AttributeError):  # stale .so without new symbols
         _LIB = None
     return _LIB
 
@@ -102,3 +113,59 @@ def pack_faces(faces: np.ndarray) -> Optional[bytes]:
                        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return out.tobytes()
+
+
+def _f32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _u8p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def cloud_sor_stats(pts: np.ndarray, valid: np.ndarray, cell: float,
+                    k: int) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Exact-within-27-cells k-NN mean distance (see src/cloud_stats.cpp);
+    None if the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(pts, np.float32)
+    v = np.ascontiguousarray(valid, np.uint8)
+    n = len(pts)
+    mean_d = np.empty(n, np.float32)
+    has = np.empty(n, np.uint8)
+    lib.cloud_sor_stats(_f32p(pts), _u8p(v), n, ctypes.c_float(cell),
+                        int(k), _f32p(mean_d), _u8p(has))
+    return mean_d, has.astype(bool)
+
+
+def cloud_normals(pts: np.ndarray, valid: np.ndarray, radius: float,
+                  viewpoint: np.ndarray) -> Optional[np.ndarray]:
+    lib = load()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(pts, np.float32)
+    v = np.ascontiguousarray(valid, np.uint8)
+    vp = np.ascontiguousarray(viewpoint, np.float32)
+    out = np.empty_like(pts)
+    lib.cloud_normals(_f32p(pts), _u8p(v), len(pts),
+                      ctypes.c_float(radius), _f32p(vp), _f32p(out))
+    return out
+
+
+def cloud_mls(pts: np.ndarray, valid: np.ndarray, radius: float,
+              prev_normals: np.ndarray
+              ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    lib = load()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(pts, np.float32)
+    v = np.ascontiguousarray(valid, np.uint8)
+    pn = np.ascontiguousarray(prev_normals, np.float32)
+    out_p = np.empty_like(pts)
+    out_n = np.empty_like(pts)
+    ok = np.empty(len(pts), np.uint8)
+    lib.cloud_mls(_f32p(pts), _u8p(v), len(pts), ctypes.c_float(radius),
+                  _f32p(pn), _f32p(out_p), _f32p(out_n), _u8p(ok))
+    return out_p, out_n, ok.astype(bool)

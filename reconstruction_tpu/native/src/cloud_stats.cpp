@@ -1,0 +1,299 @@
+// Native (host, OpenMP) cloud-stage statistics: SOR k-NN mean distance,
+// covariance normals, MLS plane fit.  Functional equivalents of the PCL
+// stages the reference uses (`CCloudOptimization.cpp:82-121,350-364`)
+// and of the JAX voxel-grid formulations in reconstruction_tpu/cloud/
+// (same radius bounds, same truncated-k sqrt(k/m) correction, same
+// closed-form 3x3 eigen math) — selectable as the cloud backend where
+// host execution is preferable to paying device round-trips on a
+// tunneled chip.
+//
+// Grid: counting-sort voxel grid with 27-cell neighborhoods, exact
+// per-point k nearest via nth_element (no per-cell candidate cap, so
+// the statistic is closer to PCL's exact KD-tree k-NN than the capped
+// device path).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct Grid {
+    float ox, oy, oz, cell;
+    int dx, dy, dz;
+    std::vector<int> start;   // G+1 exclusive prefix
+    std::vector<int> order;   // point index per sorted slot
+};
+
+inline int clampi(int v, int lo, int hi) {
+    return v < lo ? lo : (v > hi ? hi : v);
+}
+
+// Per-axis robust bbox: [q, 1-q] quantiles intersected with the Tukey
+// fence [Q25 - 1.5 IQR, Q75 + 1.5 IQR] (mirrors neighbors.robust_bbox).
+void robust_bbox(const float* pts, const uint8_t* valid, long n,
+                 float lo[3], float hi[3]) {
+    std::vector<float> axis;
+    axis.reserve(200000);
+    long stride = 1;
+    long nv = 0;
+    for (long i = 0; i < n; ++i) nv += valid[i] != 0;
+    if (nv > 200000) stride = nv / 200000 + 1;
+    for (int a = 0; a < 3; ++a) {
+        axis.clear();
+        long seen = 0;
+        for (long i = 0; i < n; ++i) {
+            if (!valid[i]) continue;
+            if ((seen++ % stride) != 0) continue;
+            axis.push_back(pts[3 * i + a]);
+        }
+        if (axis.empty()) { lo[a] = 0.f; hi[a] = 1.f; continue; }
+        auto q = [&](double f) {
+            size_t k = (size_t)(f * (axis.size() - 1));
+            std::nth_element(axis.begin(), axis.begin() + k, axis.end());
+            return axis[k];
+        };
+        float loq = q(0.005), hiq = q(0.995);
+        float q25 = q(0.25), q75 = q(0.75);
+        float iqr = std::max(q75 - q25, 1e-6f);
+        lo[a] = std::max(loq, q25 - 1.5f * iqr);
+        hi[a] = std::min(hiq, q75 + 1.5f * iqr);
+    }
+}
+
+Grid build_grid(const float* pts, const uint8_t* valid, long n, float cell) {
+    Grid g;
+    float lo[3], hi[3];
+    robust_bbox(pts, valid, n, lo, hi);
+    const long max_cells = 1L << 24;
+    for (;;) {
+        long dx = (long)((hi[0] - lo[0]) / cell) + 3;
+        long dy = (long)((hi[1] - lo[1]) / cell) + 3;
+        long dz = (long)((hi[2] - lo[2]) / cell) + 3;
+        if (dx * dy * dz <= max_cells) { g.dx = (int)dx; g.dy = (int)dy; g.dz = (int)dz; break; }
+        cell *= 1.5f;
+    }
+    g.ox = lo[0] - cell; g.oy = lo[1] - cell; g.oz = lo[2] - cell;
+    g.cell = cell;
+    const long G = (long)g.dx * g.dy * g.dz;
+    std::vector<int> ids(n, -1);
+    std::vector<int> count(G + 1, 0);
+#pragma omp parallel for schedule(static)
+    for (long i = 0; i < n; ++i) {
+        if (!valid[i]) continue;
+        int cx = clampi((int)((pts[3 * i] - g.ox) / cell), 0, g.dx - 1);
+        int cy = clampi((int)((pts[3 * i + 1] - g.oy) / cell), 0, g.dy - 1);
+        int cz = clampi((int)((pts[3 * i + 2] - g.oz) / cell), 0, g.dz - 1);
+        ids[i] = ((long)cx * g.dy + cy) * g.dz + cz;
+    }
+    for (long i = 0; i < n; ++i)
+        if (ids[i] >= 0) ++count[ids[i]];
+    g.start.resize(G + 1);
+    long acc = 0;
+    for (long c = 0; c < G; ++c) { g.start[c] = (int)acc; acc += count[c]; }
+    g.start[G] = (int)acc;
+    g.order.resize(acc);
+    std::vector<int> cur(G, 0);
+    for (long i = 0; i < n; ++i) {
+        if (ids[i] < 0) continue;
+        long c = ids[i];
+        g.order[g.start[c] + cur[c]++] = (int)i;
+    }
+    return g;
+}
+
+// Visit all points within the 27-cell neighborhood of p.
+template <typename F>
+inline void for_neighbors(const Grid& g, const float* pts, float px,
+                          float py, float pz, F&& f) {
+    int cx = clampi((int)((px - g.ox) / g.cell), 0, g.dx - 1);
+    int cy = clampi((int)((py - g.oy) / g.cell), 0, g.dy - 1);
+    int cz = clampi((int)((pz - g.oz) / g.cell), 0, g.dz - 1);
+    for (int ax = std::max(cx - 1, 0); ax <= std::min(cx + 1, g.dx - 1); ++ax)
+        for (int ay = std::max(cy - 1, 0); ay <= std::min(cy + 1, g.dy - 1); ++ay)
+            for (int az = std::max(cz - 1, 0); az <= std::min(cz + 1, g.dz - 1); ++az) {
+                long c = ((long)ax * g.dy + ay) * g.dz + az;
+                for (int s = g.start[c]; s < g.start[c + 1]; ++s) {
+                    int j = g.order[s];
+                    float dx = pts[3 * j] - px;
+                    float dy = pts[3 * j + 1] - py;
+                    float dz2 = pts[3 * j + 2] - pz;
+                    f(j, dx * dx + dy * dy + dz2 * dz2);
+                }
+            }
+}
+
+// Smallest eigenpair of a symmetric 3x3 (trigonometric method; the
+// same math as cloud/normals.smallest_eigenvector_3x3).
+void smallest_eigvec(const double A[6], float out[3]) {
+    // A packed: xx, xy, xz, yy, yz, zz
+    double q = (A[0] + A[3] + A[5]) / 3.0;
+    double B[6] = {A[0] - q, A[1], A[2], A[3] - q, A[4], A[5] - q};
+    double p2 = (B[0] * B[0] + B[3] * B[3] + B[5] * B[5]
+                 + 2 * (B[1] * B[1] + B[2] * B[2] + B[4] * B[4])) / 6.0;
+    double lam;
+    if (p2 < 1e-20) {
+        lam = q;
+    } else {
+        double p = std::sqrt(p2);
+        double detB = B[0] * (B[3] * B[5] - B[4] * B[4])
+                    - B[1] * (B[1] * B[5] - B[4] * B[2])
+                    + B[2] * (B[1] * B[4] - B[3] * B[2]);
+        double r = detB / (2 * p * p * p);
+        r = std::max(-1.0, std::min(1.0, r));
+        double phi = std::acos(r) / 3.0;
+        lam = q + 2 * p * std::cos(phi + 2.0 * M_PI / 3.0);
+    }
+    double C[3][3] = {{A[0] - lam, A[1], A[2]},
+                      {A[1], A[3] - lam, A[4]},
+                      {A[2], A[4], A[5] - lam}};
+    double best[3] = {0, 0, 1}, bestn = -1;
+    int pairs[3][2] = {{0, 1}, {0, 2}, {1, 2}};
+    for (auto& pr : pairs) {
+        double* r0 = C[pr[0]];
+        double* r1 = C[pr[1]];
+        double cx = r0[1] * r1[2] - r0[2] * r1[1];
+        double cy = r0[2] * r1[0] - r0[0] * r1[2];
+        double cz = r0[0] * r1[1] - r0[1] * r1[0];
+        double nn = cx * cx + cy * cy + cz * cz;
+        if (nn > bestn) { bestn = nn; best[0] = cx; best[1] = cy; best[2] = cz; }
+    }
+    double nn = std::sqrt(best[0] * best[0] + best[1] * best[1] + best[2] * best[2]);
+    if (nn > 1e-20) {
+        out[0] = (float)(best[0] / nn);
+        out[1] = (float)(best[1] / nn);
+        out[2] = (float)(best[2] / nn);
+    } else {
+        out[0] = 0.f; out[1] = 0.f; out[2] = 1.f;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Per-point mean distance to the k nearest neighbors within `cell`
+// (exact within the 27-cell neighborhood), with the sqrt(k/m)
+// truncated-neighborhood correction.  Outputs mean_d (n) and has (n).
+void cloud_sor_stats(const float* pts, const uint8_t* valid, long n,
+                     float cell, int k, float* mean_d, uint8_t* has) {
+    Grid g = build_grid(pts, valid, n, cell);
+    const float r2 = cell * cell;
+#pragma omp parallel
+    {
+        std::vector<float> d2s;
+        d2s.reserve(1024);
+#pragma omp for schedule(dynamic, 512)
+        for (long i = 0; i < n; ++i) {
+            mean_d[i] = 0.f;
+            has[i] = 0;
+            if (!valid[i]) continue;
+            d2s.clear();
+            for_neighbors(g, pts, pts[3 * i], pts[3 * i + 1], pts[3 * i + 2],
+                          [&](int j, float d2) {
+                              if (j != (int)i && d2 <= r2) d2s.push_back(d2);
+                          });
+            if (d2s.empty()) continue;
+            size_t m = std::min((size_t)k, d2s.size());
+            std::nth_element(d2s.begin(), d2s.begin() + (m - 1), d2s.end());
+            double acc = 0;
+            for (size_t t = 0; t < m; ++t) acc += std::sqrt((double)d2s[t]);
+            mean_d[i] = (float)(acc / m * std::sqrt((double)k / m));
+            has[i] = 1;
+        }
+    }
+}
+
+// Covariance normals within `radius`, flipped toward the viewpoint.
+// Single neighbor pass: raw moments about the query point (numerically
+// safe — offsets are O(radius)), cov = E[xx^T] - mu mu^T.
+void cloud_normals(const float* pts, const uint8_t* valid, long n,
+                   float radius, const float* viewpoint, float* normals) {
+    Grid g = build_grid(pts, valid, n, radius);
+    const float r2 = radius * radius;
+#pragma omp parallel for schedule(dynamic, 512)
+    for (long i = 0; i < n; ++i) {
+        float* out = normals + 3 * i;
+        float px = pts[3 * i], py = pts[3 * i + 1], pz = pts[3 * i + 2];
+        double m1[3] = {0, 0, 0}, m2[6] = {0, 0, 0, 0, 0, 0};
+        long cnt = 0;
+        for_neighbors(g, pts, px, py, pz, [&](int j, float d2) {
+            if (d2 > r2) return;
+            double dx = pts[3 * j] - px, dy = pts[3 * j + 1] - py,
+                   dz = pts[3 * j + 2] - pz;
+            m1[0] += dx; m1[1] += dy; m1[2] += dz;
+            m2[0] += dx * dx; m2[1] += dx * dy; m2[2] += dx * dz;
+            m2[3] += dy * dy; m2[4] += dy * dz; m2[5] += dz * dz;
+            ++cnt;
+        });
+        if (cnt == 0) { out[0] = 0; out[1] = 0; out[2] = 1; continue; }
+        double inv = 1.0 / cnt;
+        double mx = m1[0] * inv, my = m1[1] * inv, mz = m1[2] * inv;
+        double A[6] = {m2[0] * inv - mx * mx, m2[1] * inv - mx * my,
+                       m2[2] * inv - mx * mz, m2[3] * inv - my * my,
+                       m2[4] * inv - my * mz, m2[5] * inv - mz * mz};
+        smallest_eigvec(A, out);
+        float tx = viewpoint[0] - px, ty = viewpoint[1] - py,
+              tz = viewpoint[2] - pz;
+        if (out[0] * tx + out[1] * ty + out[2] * tz < 0) {
+            out[0] = -out[0]; out[1] = -out[1]; out[2] = -out[2];
+        }
+    }
+}
+
+// MLS: Gaussian-weighted plane fit + projection; normal re-oriented
+// against prev_normals.  ok[i] = had any neighbor within radius.
+void cloud_mls(const float* pts, const uint8_t* valid, long n,
+               float radius, const float* prev_normals,
+               float* out_pts, float* out_normals, uint8_t* ok) {
+    Grid g = build_grid(pts, valid, n, radius);
+    const float r2 = radius * radius;
+    const double inv_r2 = 1.0 / ((double)radius * radius);
+#pragma omp parallel for schedule(dynamic, 512)
+    for (long i = 0; i < n; ++i) {
+        float px = pts[3 * i], py = pts[3 * i + 1], pz = pts[3 * i + 2];
+        out_pts[3 * i] = px; out_pts[3 * i + 1] = py; out_pts[3 * i + 2] = pz;
+        out_normals[3 * i] = 0; out_normals[3 * i + 1] = 0;
+        out_normals[3 * i + 2] = 1;
+        ok[i] = 0;
+        if (!valid[i]) continue;
+        // Single pass: weighted raw moments about the query point
+        // (offsets are O(radius) so E[xx^T] - mu mu^T is stable here).
+        double wsum = 0, m1[3] = {0, 0, 0}, m2[6] = {0, 0, 0, 0, 0, 0};
+        for_neighbors(g, pts, px, py, pz, [&](int j, float d2) {
+            if (d2 > r2) return;
+            double w = std::exp(-(double)d2 * inv_r2);
+            double dx = pts[3 * j] - px, dy = pts[3 * j + 1] - py,
+                   dz = pts[3 * j + 2] - pz;
+            wsum += w;
+            m1[0] += w * dx; m1[1] += w * dy; m1[2] += w * dz;
+            m2[0] += w * dx * dx; m2[1] += w * dx * dy; m2[2] += w * dx * dz;
+            m2[3] += w * dy * dy; m2[4] += w * dy * dz; m2[5] += w * dz * dz;
+        });
+        if (wsum <= 0) continue;
+        double inv = 1.0 / wsum;
+        double ox = m1[0] * inv, oy = m1[1] * inv, oz = m1[2] * inv;
+        double mx = px + ox, my = py + oy, mz = pz + oz;
+        double A[6] = {m2[0] * inv - ox * ox, m2[1] * inv - ox * oy,
+                       m2[2] * inv - ox * oz, m2[3] * inv - oy * oy,
+                       m2[4] * inv - oy * oz, m2[5] * inv - oz * oz};
+        float nv[3];
+        smallest_eigvec(A, nv);
+        const float* pn = prev_normals + 3 * i;
+        if (nv[0] * pn[0] + nv[1] * pn[1] + nv[2] * pn[2] < 0) {
+            nv[0] = -nv[0]; nv[1] = -nv[1]; nv[2] = -nv[2];
+        }
+        double dist = (px - mx) * nv[0] + (py - my) * nv[1] + (pz - mz) * nv[2];
+        out_pts[3 * i] = (float)(px - dist * nv[0]);
+        out_pts[3 * i + 1] = (float)(py - dist * nv[1]);
+        out_pts[3 * i + 2] = (float)(pz - dist * nv[2]);
+        out_normals[3 * i] = nv[0];
+        out_normals[3 * i + 1] = nv[1];
+        out_normals[3 * i + 2] = nv[2];
+        ok[i] = 1;
+    }
+}
+
+}  // extern "C"

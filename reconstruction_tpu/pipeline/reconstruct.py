@@ -159,14 +159,16 @@ def reconstruct(
                                   mean_k=cfg.cloud.sor_mean_k,
                                   std_thresh=cfg.cloud.sor_std_thresh,
                                   host_points=host_xyz,
-                                  host_valid=host_valid)
+                                  host_valid=host_valid,
+                                  backend=cfg.cloud.backend)
                 # normals + flip toward the pair camera (`:101-121`)
                 center = jnp.asarray(res.rectification.T_final, jnp.float32)
                 nrm_j = estimate_normals(cloud.xyz, keep,
                                          radius=cfg.cloud.mls_radius,
                                          viewpoint=center,
                                          host_points=host_xyz,
-                                         host_valid=host_valid)
+                                         host_valid=host_valid,
+                                         backend=cfg.cloud.backend)
                 block_ready((keep, nrm_j))
             keepn = np.asarray(keep)
             xyz = host_xyz[keepn]
@@ -244,9 +246,12 @@ def reconstruct(
 
     # MLS (`CCloudOptimization.cpp:350-364`) + re-orientation.
     with timer.span("mls"):
-        sm, nrm_j, ok = mls_smooth(jnp.asarray(xyz), jnp.asarray(valid),
-                                   cfg.cloud.mls_radius, jnp.asarray(nrm),
-                                   host_points=xyz, host_valid=valid)
+        # numpy in: the jax path uploads under jit, the native path stays
+        # host-side end to end (no device traffic at all).
+        sm, nrm_j, ok = mls_smooth(xyz, valid,
+                                   cfg.cloud.mls_radius, nrm,
+                                   host_points=xyz, host_valid=valid,
+                                   backend=cfg.cloud.backend)
         okn = np.asarray(ok)
         xyz_s = np.asarray(sm)[okn]
         nrm_s = np.asarray(nrm_j)[okn]
@@ -287,24 +292,7 @@ def reconstruct(
     # Texture (TextureStitcher equivalent).
     with timer.span("texture"):
         vnorm = _vertex_normals(verts, faces)
-        cams = []
-        for pi, res in enumerate(pair_results):
-            if res is None:
-                continue  # checkpoint-restored pair: no projection context
-            # textures sample the working-resolution rectified images via
-            # the reference's world->scaled-pixel P (`CStereoMatching.cpp:145`)
-            # — reusing the remap already computed inside match_pair.
-            # BOTH cameras of the pair contribute, matching the
-            # reference's 2-scans-per-pair TextureStitcher input
-            # (`Demo/scans.txt:1-20`, `CCloudOptimization.cpp:396`).
-            cams.append((res.rectification.P1_world,
-                         res.rect_images[0].astype(np.float32),
-                         res.rect_masks[0].astype(np.float32),
-                         res.rectification.T_final))
-            cams.append((res.rectification.P2_world,
-                         res.rect_images[1].astype(np.float32),
-                         res.rect_masks[1].astype(np.float32),
-                         res.rectification.C2_world))
+        cams = texture_cameras(pair_results)
         colors = (texture_vertices(verts, vnorm, cams) if cams
                   else np.full((len(verts), 3), 127.0))
     if output_path:
@@ -316,6 +304,31 @@ def reconstruct(
                           cloud_xyz=xyz_s, cloud_normals=nrm_s,
                           pair_results=live_results, stats=stats,
                           timer=timer)
+
+
+def texture_cameras(pair_results: Sequence[Optional[PairResult]]):
+    """Assemble texture-blend views: BOTH cameras of every live pair,
+    matching the reference's 2-scans-per-pair TextureStitcher input
+    (`Demo/scans.txt:1-20`, `CCloudOptimization.cpp:396`) — r2 fed only
+    camera 0, so half the captured views never colored the mesh.
+
+    Textures sample the working-resolution rectified images via the
+    reference's world->scaled-pixel P (`CStereoMatching.cpp:145`),
+    reusing the remap already computed inside match_pair.
+    """
+    cams = []
+    for res in pair_results:
+        if res is None:
+            continue  # checkpoint-restored pair: no projection context
+        cams.append((res.rectification.P1_world,
+                     res.rect_images[0].astype(np.float32),
+                     res.rect_masks[0].astype(np.float32),
+                     res.rectification.T_final))
+        cams.append((res.rectification.P2_world,
+                     res.rect_images[1].astype(np.float32),
+                     res.rect_masks[1].astype(np.float32),
+                     res.rectification.C2_world))
+    return cams
 
 
 def _vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:

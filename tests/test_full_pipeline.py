@@ -65,6 +65,62 @@ def test_output_ply_readable(recon):
     assert data.faces is not None and len(data.faces) == len(recon.faces)
 
 
+def test_texture_uses_both_cameras(recon):
+    """`Demo/scans.txt` feeds TWO colored scans per pair into
+    TextureStitcher (`CCloudOptimization.cpp:396`); the blend must see
+    2 views per live pair with distinct projections and centers, and
+    the second view must measurably color vertices the first view's
+    mask misses."""
+    from reconstruction_tpu.pipeline.reconstruct import texture_cameras
+    from reconstruction_tpu.surface.texture import texture_vertices
+    from reconstruction_tpu.pipeline.reconstruct import _vertex_normals
+
+    cams = texture_cameras(recon.pair_results)
+    assert len(cams) == 2 * len(recon.pair_results)
+    for i in range(0, len(cams), 2):
+        P0, _, _, c0 = cams[i]
+        P1, _, _, c1 = cams[i + 1]
+        assert not np.allclose(P0, P1)
+        assert not np.allclose(c0, c1)
+
+    # Blank camera-0 masks: with only cam0 views everything falls back
+    # to gray; the cam1 views must still provide real coverage.
+    cams_cam1_only = [(P, img, (np.zeros_like(m) if i % 2 == 0 else m), c)
+                      for i, (P, img, m, c) in enumerate(cams)]
+    vnorm = _vertex_normals(recon.vertices, recon.faces)
+    col = texture_vertices(recon.vertices, vnorm, cams_cam1_only)
+    nongray = (np.abs(col - 127.0).max(axis=1) > 1.0).mean()
+    assert nongray > 0.5, nongray
+
+
+def test_dedup_production_path():
+    """End-to-end run with the `isdelete` dedup stage ON, gated by the
+    real eroded rectified masks (`CCloudOptimization.cpp:186-193,217`)
+    — r2 wired dummy all-ones masks here.  The mask gate must actually
+    reject points (kept < total) while the pipeline still produces a
+    textured mesh."""
+    import dataclasses
+    cfg = preset("tiny").replace(
+        pyramid_levels=2,
+        lowest_level_size=(80, 60),
+        cam_pairs=((0, 1), (2, 3)),
+    )
+    cfg = cfg.replace(cloud=dataclasses.replace(cfg.cloud, dedup=True))
+    cams, imgs, masks = make_stereo_scene(
+        image_size=(160, 120), span_deg=24.0, num_cameras=4)
+    pairs = []
+    for (a, b) in cfg.cam_pairs:
+        pairs.append(PairInput(
+            image0=imgs[a], image1=imgs[b], mask0=masks[a], mask1=masks[b],
+            K0=np.asarray(cams[a].K), Rt0=np.asarray(cams[a].Rt),
+            K1=np.asarray(cams[b].K), Rt1=np.asarray(cams[b].Rt)))
+    r = reconstruct(cfg, pairs)
+    assert len(r.vertices) > 500
+    recs = {rec["stage"]: rec for rec in r.stats.records}
+    total = sum(recs[f"pair{i}"]["kept_points"] for i in range(2))
+    assert 0 < recs["dedup"]["kept"] < total, (recs["dedup"], total)
+
+
 def test_per_pair_artifacts(recon):
     """isoutput artifact parity: per-pair filtered cloud `cloud<i>.ply`
     (`CStereoMatching.cpp:723-757`), per-camera recolored scan meshes

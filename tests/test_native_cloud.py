@@ -1,0 +1,108 @@
+"""Native (C++/OpenMP) cloud-stage backend vs the jax path and brute
+force.  The native path (native/src/cloud_stats.cpp) is the production
+backend on the tunneled single-chip relay (cloud/backend.py), so its
+statistics must agree with the device formulations it replaces."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from reconstruction_tpu import native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="librecon_native.so not built")
+
+
+def _surface_cloud(rng, n=3000, noise=0.0):
+    xy = rng.uniform(-2, 2, size=(n, 2))
+    z = 0.1 * (xy[:, 0] ** 2 + xy[:, 1] ** 2)
+    pts = np.column_stack([xy, z + rng.normal(scale=noise, size=n)])
+    return pts.astype(np.float32)
+
+
+def test_native_sor_stats_exact(rng):
+    """cloud_sor_stats is EXACT mean-of-kNN within the radius bound
+    (+ sqrt(k/m) truncation correction) — tighter than the histogram."""
+    pts = _surface_cloud(rng, 2000, noise=0.003)
+    valid = np.ones(len(pts), bool)
+    k = 20
+    cell = 0.25
+    mean_d, has = native.cloud_sor_stats(pts, valid, cell, k)
+
+    D2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(D2, np.inf)
+    for i in range(0, len(pts), 41):
+        d = np.sqrt(np.sort(D2[i]))
+        d = d[d <= cell]
+        if len(d) == 0:
+            assert not has[i]
+            continue
+        m = min(len(d), k)
+        want = d[:m].mean() * np.sqrt(k / m)
+        assert has[i]
+        np.testing.assert_allclose(mean_d[i], want, rtol=2e-4)
+
+
+def test_native_sor_filter_behaves(rng):
+    from reconstruction_tpu.cloud.filters import sor_filter
+    pts = _surface_cloud(rng, 4000, noise=0.005)
+    outliers = rng.uniform(-2, 2, size=(40, 3)).astype(np.float32)
+    outliers[:, 2] += 5.0
+    allp = np.vstack([pts, outliers])
+    valid = np.ones(len(allp), bool)
+    keep = sor_filter(allp, valid, mean_k=30, std_thresh=1.0,
+                      backend="native")
+    assert isinstance(keep, np.ndarray)  # zero device traffic
+    assert keep[:4000].mean() > 0.9
+    assert keep[4000:].mean() < 0.2
+
+
+def test_native_normals_match_jax(rng):
+    from reconstruction_tpu.cloud.normals import estimate_normals
+    pts = _surface_cloud(rng, 3000, noise=0.002)
+    valid = np.ones(len(pts), bool)
+    vp = np.array([0.0, 0.0, 100.0], np.float32)
+    n_nat = estimate_normals(pts, valid, radius=0.3, viewpoint=vp,
+                             backend="native")
+    n_jax = np.asarray(estimate_normals(jnp.asarray(pts),
+                                        jnp.asarray(valid), radius=0.3,
+                                        viewpoint=jnp.asarray(vp),
+                                        chunk=512, per_cell=64,
+                                        backend="jax"))
+    cos = np.abs((n_nat * n_jax).sum(1))
+    # per_cell-capped jax candidates vs exact native: directions agree
+    assert (cos > 0.995).mean() > 0.97, (cos.mean(), (cos > 0.995).mean())
+    assert (n_nat[:, 2] > 0).all()  # flipped toward viewpoint
+
+
+def test_native_mls_matches_jax(rng):
+    from reconstruction_tpu.cloud.mls import mls_smooth
+    from reconstruction_tpu.cloud.normals import estimate_normals
+    pts = _surface_cloud(rng, 3000, noise=0.01)
+    valid = np.ones(len(pts), bool)
+    vp = np.array([0.0, 0.0, 100.0], np.float32)
+    n0 = estimate_normals(pts, valid, radius=0.3, viewpoint=vp,
+                          backend="native")
+    sm_nat, nn_nat, ok_nat = mls_smooth(pts, valid, 0.3, n0,
+                                        backend="native")
+    sm_jax, nn_jax, ok_jax = mls_smooth(jnp.asarray(pts),
+                                        jnp.asarray(valid), 0.3,
+                                        jnp.asarray(n0), chunk=512,
+                                        per_cell=64, backend="jax")
+    sm_jax = np.asarray(sm_jax)
+    both = ok_nat & np.asarray(ok_jax)
+    assert both.mean() > 0.95
+    # projected positions agree to a fraction of the noise scale
+    err = np.linalg.norm(sm_nat[both] - sm_jax[both], axis=1)
+    assert np.median(err) < 2e-3, np.median(err)
+
+
+def test_backend_resolution(monkeypatch):
+    from reconstruction_tpu.cloud.backend import resolve_backend
+    assert resolve_backend("jax") == "jax"
+    assert resolve_backend("native") == "native"
+    monkeypatch.setenv("RECON_CLOUD_BACKEND", "native")
+    assert resolve_backend("auto") == "native"
+    monkeypatch.delenv("RECON_CLOUD_BACKEND")
+    # tests pin the cpu platform -> auto resolves to jax
+    assert resolve_backend("auto") == "jax"

@@ -1,12 +1,13 @@
 """Fine-grained on-chip ladder for the 2.45M-point cloud stage (r3).
 
-repro_cloud_stage.py died ~10 min into `sor_filter cold` with the whole
-chain in one step — indistinguishable between a hung kernel and the
-chip-grant time-box eating a slow cold compile.  This ladder splits the
-chain into the smallest separately-jitted steps, in cost order, so (a)
-the last printed line identifies where the time goes and (b) every
-completed step lands in the persistent compile cache, ratcheting across
-sessions.
+Round-3 findings so far: every cloud kernel (grid build, count map,
+histogram k-NN, gate) completes in seconds on-chip, and ALL raw
+device->host transfers (f32/int32/uint8/bool up to 2.45M) succeed in a
+clean session (tools/repro_transfer.py) — yet fetching the SOR result
+after running the maps killed the worker.  This ladder therefore
+FETCHES after every step: the first fetch that dies identifies which
+producer poisons the worker/buffer.  Covers SOR, normals and MLS at the
+exact bench pair shape.
 
 Usage: python tools/tpu_run.py tools/repro_cloud_ladder.py [budget_s]
 """
@@ -52,6 +53,16 @@ def main():
         log(f"{name}: ok ({time.perf_counter() - t:.2f}s)")
         return out
 
+    def fetch(name, arr):
+        if arr is None:
+            return None
+        t = time.perf_counter()
+        host = jax.tree_util.tree_map(np.asarray, arr)
+        first = jax.tree_util.tree_leaves(host)[0]
+        log(f"fetch {name}: ok ({time.perf_counter() - t:.2f}s) "
+            f"mean={np.asarray(first, np.float64).mean():.4g}")
+        return host
+
     # Same cloud as repro_cloud_stage.py (bench pair shape).
     H, W = 1920, 1280
     N = H * W
@@ -76,7 +87,7 @@ def main():
     cell = spacing * float(np.sqrt(100)) * 0.6 + 1e-6
     origin, dims, cell = host_grid_geometry(pts, valid, cell)
     G = dims[0] * dims[1] * dims[2]
-    log(f"N={N} dims={dims} G={G} cell={cell:.5f}")
+    log(f"N={N} spacing={spacing:.5f} dims={dims} G={G} cell={cell:.5f}")
 
     pj = jnp.asarray(pts)
     vj = jnp.asarray(valid)
@@ -86,33 +97,43 @@ def main():
         pj, vj, origin, cj, dims, pad=32), need=90.0)
     if grid is None:
         return 0
+    fetch("grid.starts[:4]", grid.starts[:4])
 
     def run_map(fn, pc=32):
         return neighbor_map_dense(grid, pj, vj, cj, fn, dims,
                                   per_cell=pc, chunk=4096,
                                   exclude_self=True)
 
-    step("map count", lambda: run_map(
+    cnt = step("map count", lambda: run_map(
         lambda q, cand, cpts, d2, ok: ok.sum(-1)), need=120.0)
-    step("map meandist", lambda: run_map(
-        lambda q, cand, cpts, d2, ok:
-        jnp.where(ok, jnp.sqrt(jnp.where(ok, d2, 0.0)), 0.0).sum(-1)
-        / jnp.maximum(ok.sum(-1), 1)), need=120.0)
-    out = None
-    for nb in (8, 16, 32):
-        o = step(f"map knn_stat bins={nb}",
-                 lambda nb=nb: run_map(_knn_stat(100, nb)), need=120.0)
-        if o is not None:
-            out = o
+    fetch("count", cnt)
+
+    out = step("map knn_stat bins=32",
+               lambda: run_map(_knn_stat(100, 32)), need=120.0)
     if out is not None:
-        mean_d, has = out
+        fetch("knn mean_d", out[0])
+        fetch("knn has (bool)", out[1])
         keep = step("sor gate", lambda: _sor_gate(
-            mean_d, has, vj, cj, jnp.float32(1.0)), need=30.0)
-        if keep is not None:
-            log(f"kept {np.asarray(keep).mean():.3f}")
-    # warm rep of whichever map is production
-    step("map knn_stat bins=32 warm",
-         lambda: run_map(_knn_stat(100, 32)), need=30.0)
+            out[0], out[1], vj, cj, jnp.float32(1.0)), need=30.0)
+        kh = fetch("keep (bool)", keep)
+        if kh is not None:
+            log(f"kept {kh.mean():.3f}")
+    else:
+        keep = vj
+
+    # normals + mls at the bench radius
+    from reconstruction_tpu.cloud.normals import estimate_normals
+    from reconstruction_tpu.cloud.mls import mls_smooth
+    center = jnp.asarray([0.0, 0.0, 8.0], jnp.float32)
+    nrm = step("estimate_normals", lambda: estimate_normals(
+        pj, keep, radius=0.02, viewpoint=center,
+        host_points=pts, host_valid=valid), need=120.0)
+    nh = fetch("normals", nrm)
+    if nrm is not None:
+        sm = step("mls_smooth", lambda: mls_smooth(
+            pj, keep, 0.02, nrm, host_points=pts, host_valid=valid),
+            need=120.0)
+        fetch("mls (pts, nrm, ok)", sm)
     log("LADDER DONE")
     return 0
 

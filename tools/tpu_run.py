@@ -19,12 +19,35 @@ import subprocess
 import sys
 
 
+def prune_cache(path: str, max_bytes: int = 4 << 30) -> None:
+    """Evict oldest-mtime entries once the persistent compile cache
+    exceeds ``max_bytes`` — with min_compile_time_secs=0 every
+    sub-second compile is cached and the directory grows without bound
+    (advisor r2)."""
+    try:
+        entries = [(os.path.getmtime(p), os.path.getsize(p), p)
+                   for p in (os.path.join(path, f) for f in os.listdir(path))
+                   if os.path.isfile(p)]
+    except OSError:
+        return
+    total = sum(s for _, s, _ in entries)
+    for _, size, p in sorted(entries):
+        if total <= max_bytes:
+            break
+        try:
+            os.remove(p)
+            total -= size
+        except OSError:
+            pass
+
+
 def main():
     if len(sys.argv) < 2:
         print(__doc__)
         return 1
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+    prune_cache(env["JAX_COMPILATION_CACHE_DIR"])
     # Cache even sub-second compiles: each uncached program pays a
     # multi-second relay round trip on the tunneled chip.
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
