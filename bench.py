@@ -302,11 +302,10 @@ def run_full(npairs, reps):
 def run_stereo_only(reps):
     """Matching-only loop (the r01 protocol) for kernel A/B work."""
     import jax.numpy as jnp
-    from reconstruction_tpu.config import preset
     from reconstruction_tpu.core.pyramid import build_pyramid, quantize_u8
     from reconstruction_tpu.stereo.pipeline import match_one_level
 
-    cfg = preset("myself")
+    cfg = bench_config(1)  # honors RECON_BENCH_BASE/LEVELS smoke knobs
     W, H = cfg.finest_size
     rng = np.random.default_rng(0)
     imgL, imgR, mask = synth_pair(H, W, rng)
@@ -329,13 +328,15 @@ def run_stereo_only(reps):
             refine_impl=refine_impl)
 
     state = None
+    cold = []
     for level in range(cfg.pyramid_levels):
         t0 = time.perf_counter()
         state = one_level(state, level)
         state.disp0.block_until_ready()
-        print(f"[bench] level {level} compile+run: "
-              f"{time.perf_counter() - t0:.2f}s", file=sys.stderr, flush=True)
-    best = [float("inf")] * cfg.pyramid_levels
+        cold.append(time.perf_counter() - t0)
+        print(f"[bench] level {level} compile+run: {cold[-1]:.2f}s",
+              file=sys.stderr, flush=True)
+    best = list(cold)  # reps == 0 (warming session): report the cold pass
     for r in range(reps):
         state = None
         for level in range(cfg.pyramid_levels):
@@ -346,9 +347,12 @@ def run_stereo_only(reps):
     per_pair = sum(best)
     print(f"[bench] best per-level: {['%.2f' % b for b in best]} "
           f"-> {per_pair:.2f}s/pair", file=sys.stderr, flush=True)
-    return {"matching_s": round(per_pair, 3), "total_s": round(per_pair, 3),
-            "stages_s": {"stereo": round(per_pair, 3)},
-            "mesh": {}, "views_per_s": 2.0 / per_pair}
+    out = {"matching_s": round(per_pair, 3), "total_s": round(per_pair, 3),
+           "stages_s": {"stereo": round(per_pair, 3)},
+           "mesh": {}, "views_per_s": 2.0 / per_pair}
+    if reps == 0:
+        out["warming"] = True
+    return out
 
 
 OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),

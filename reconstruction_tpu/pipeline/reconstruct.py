@@ -175,19 +175,20 @@ def reconstruct(
             nrm = np.asarray(nrm_j)[keepn]
             col = np.asarray(cloud.colors)[keepn]
             mask0 = None
-            drift_max = float(res.refine_drift.max())
-            stats.add(f"pair{pi}", raw_points=int(np.asarray(cloud.valid).sum()),
+            drift_p99 = float(res.refine_drift.max())
+            stats.add(f"pair{pi}", raw_points=int(host_valid.sum()),
                       kept_points=len(xyz),
-                      refine_drift_max=round(drift_max, 2))
+                      refine_drift_p99=round(drift_p99, 2))
             # Mini-CV refine window budget: ~+-12 slots of the anchors
             # (re-centered mid-run by default).  Past it the refine read
             # neutral costs — the capture is pathological for the banded
             # formulation; surface it instead of silently diverging.
-            if drift_max > 12.0:
+            if drift_p99 > 12.0:
                 log.warning(
-                    "pair %d: refine drift %.1f slots exceeds the mini-CV "
-                    "window budget (~12); raise refine_recenter_every "
-                    "cadence or the banded drift margin", pi, drift_max)
+                    "pair %d: refine drift p99 %.1f slots exceeds the "
+                    "mini-CV window budget (~12); raise "
+                    "refine_recenter_every cadence or the banded drift "
+                    "margin", pi, drift_p99)
             if cfg.isoutput and artifact_dir:
                 os.makedirs(artifact_dir, exist_ok=True)
                 write_ply(os.path.join(artifact_dir, f"cloud{pi}.ply"),

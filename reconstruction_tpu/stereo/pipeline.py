@@ -121,8 +121,14 @@ def match_one_level(
                               recenter_every=recenter_every)
 
     def drift(pre, post):
+        """p99 of |d_refined - d_pre| over pixels valid in both.  p99,
+        not max: isolated bad matches legitimately get dragged tens of
+        slots by the smoothness term (the reference does the same,
+        `CStereoMatching.cpp:652-672`) — the window budget only matters
+        when the BULK of pixels drift."""
         ok = (pre != NOMATCH) & (post != NOMATCH)
-        return jnp.max(jnp.where(ok, jnp.abs(post - pre), 0.0))
+        mag = jnp.where(ok, jnp.abs(post - pre), 0.0)
+        return jnp.percentile(mag, 99.0)
 
     drift0, drift1 = drift(pre0, d0), drift(pre1, d1)
     d0, d1 = uniqueness_constraint(d0, d1, m0, m1)

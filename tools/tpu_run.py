@@ -52,9 +52,22 @@ def main():
     # multi-second relay round trip on the tunneled chip.
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
     cmd = [sys.executable] + sys.argv[1:]
+    # Serialize TPU clients with a local flock: two concurrent clients
+    # do NOT queue cleanly — r3 observed them time-sharing the relay in
+    # multi-minute slices, stalling each other's fetches for 9-20 min.
+    import fcntl
+    lock_path = "/tmp/recon_tpu_client.lock"
+    lock = open(lock_path, "w")
+    print(f"[tpu_run] waiting for local TPU-client lock ({lock_path})...",
+          file=sys.stderr, flush=True)
+    fcntl.flock(lock, fcntl.LOCK_EX)
     print(f"[tpu_run] launching {cmd[1:]} (will block until the chip "
-          f"grant arrives; do not kill)", file=sys.stderr, flush=True)
-    return subprocess.call(cmd, env=env)
+          f"grant arrives; do not kill; fetches can stall for many "
+          f"minutes — be patient)", file=sys.stderr, flush=True)
+    try:
+        return subprocess.call(cmd, env=env)
+    finally:
+        fcntl.flock(lock, fcntl.LOCK_UN)
 
 
 if __name__ == "__main__":
