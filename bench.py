@@ -139,16 +139,42 @@ def make_pairs(cfg, cams, imgs, masks):
 # ---------------------------------------------------------------------------
 
 def _time_op(fn, *args, reps=3):
-    """Median-of-reps on-device seconds (block_until_ready fenced)."""
+    """On-device seconds per call, FETCH-fenced: on the tunneled relay
+    block_until_ready can return before execution finishes (r3 measured
+    a 64-shift NCC sweep "completing" in 0.1 ms — 30x past the HBM
+    roofline), so the only trustworthy fence is a device->host fetch of
+    a value that depends on every timed dispatch.  Fetch latency is
+    measured separately and subtracted; reps grow geometrically until
+    the timed window dwarfs it."""
     import jax
+    import jax.numpy as jnp
+
     out = fn(*args)
-    jax.block_until_ready(out)  # compile + warm
-    ts = []
-    for _ in range(reps):
+    jax.block_until_ready(out)
+    first = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.ravel(first)[0].astype(jnp.float32))  # warm + hard sync
+
+    # fetch-latency floor (median of 3 tiny dependent fetches)
+    lat = []
+    for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+        float(jnp.ravel(first)[0].astype(jnp.float32) + 1.0)
+        lat.append(time.perf_counter() - t0)
+    fetch_s = float(np.median(lat))
+
+    n = max(reps, 1)
+    while True:
+        t0 = time.perf_counter()
+        acc = []
+        for _ in range(n):
+            r = fn(*args)
+            acc.append(jnp.ravel(jax.tree_util.tree_leaves(r)[0])[:1]
+                       .astype(jnp.float32))
+        float(jnp.concatenate(acc).sum())  # one fetch fencing all n
+        dt = time.perf_counter() - t0
+        if dt > max(10.0 * fetch_s, 1.0) or n >= 64:
+            return max(dt - fetch_s, 1e-9) / n
+        n *= 2
 
 
 def measure_kernels(chip):

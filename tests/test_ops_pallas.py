@@ -62,3 +62,36 @@ def test_refine_minicv_matches_gather_path(rng):
     close = np.isclose(an, bn, atol=1e-4)
     assert close.mean() > 0.999, (1 - close.mean())
     np.testing.assert_array_equal(an == NOMATCH, bn == NOMATCH)
+
+
+def test_refine_pallas_recenter_matches_xla(rng):
+    """Window re-centering chunks the Pallas segment loop exactly like
+    the XLA scan path: same chunk boundaries -> same reads -> equal
+    output (both explicit k and the auto -1 resolution)."""
+    imgL, imgR, disp, valid = _scene(rng)
+    m = find_margin(jnp.asarray(valid), 2)
+    for rc in (12, -1):
+        ref = disparity_refine(jnp.asarray(disp), jnp.asarray(imgL),
+                               jnp.asarray(imgR), m, iterations=24,
+                               s_cap=32, band=8, recenter_every=rc)
+        out = disparity_refine_pallas(jnp.asarray(disp), jnp.asarray(imgL),
+                                      jnp.asarray(imgR), m, iterations=24,
+                                      s_cap=32, band=8, T=6, block=16,
+                                      interpret=True, recenter_every=rc)
+        r, o = np.asarray(ref), np.asarray(out)
+        close = np.isclose(r, o, atol=1e-4)
+        assert close.mean() > 0.999, (rc, 1 - close.mean())
+        np.testing.assert_array_equal(r == NOMATCH, o == NOMATCH)
+
+
+def test_resolve_recenter_auto():
+    from reconstruction_tpu.stereo.refine import resolve_recenter
+    # auto = one mid-run re-extraction, T-aligned (T=10 default)
+    assert resolve_recenter(120, -1) == 60
+    assert resolve_recenter(90, -1) == 50
+    assert resolve_recenter(30, -1) == 20
+    assert resolve_recenter(10, -1) == 0   # nothing to split
+    assert resolve_recenter(120, 0) == 0   # explicit off
+    assert resolve_recenter(120, 30) == 30
+    # pallas chunking uses its own T
+    assert resolve_recenter(24, -1, t=6) == 12

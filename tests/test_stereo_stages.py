@@ -392,3 +392,40 @@ def test_refine_multi_iteration_realistic_scene_vs_oracle(rng):
     assert np.quantile(err120, 0.75) < 1e-3
     assert (err120 > 0.05).mean() < 0.10, (err120.max(),
                                            (err120 > 0.05).mean())
+
+
+def test_refine_auto_recenter_bounds_drift_at_level3_iters(rng):
+    """Production drift protection (recenter_every=-1: ONE mid-run
+    window re-extraction, the match_one_level default) at the level-3
+    iteration budget (120 sweeps): on a sustained-drift scene the auto
+    mode must track the full-recompute oracle strictly better than the
+    static window, and its realized drift must stay within the banded
+    volume's fill margin."""
+    import jax
+
+    imgL, imgR, vL, disp = _drift_scene(rng)
+    mo, mj = _margins(vL)
+    iters, ws = 120, 0.01
+    ref = oracle.refine_full(disp, imgL.astype(np.float64),
+                             imgR.astype(np.float64), mo, ws, iters)
+    valid = disp != NOMATCH
+
+    def run(rc):
+        with jax.enable_x64():
+            return np.asarray(disparity_refine(
+                jnp.asarray(disp, jnp.float64),
+                jnp.asarray(imgL, jnp.float64),
+                jnp.asarray(imgR, jnp.float64), mj, iterations=iters,
+                ws=ws, s_cap=128, band=8, drift=32, recenter_every=rc))
+
+    auto, stale = run(-1), run(0)
+    err_auto = np.abs(auto - ref)[valid]
+    err_stale = np.abs(stale - ref)[valid]
+    # the scene must stress the static budget at all for this to mean
+    # anything
+    assert np.abs(ref - disp)[valid].max() > 10.0
+    assert err_auto.max() < err_stale.max() * 0.5, (
+        err_auto.max(), err_stale.max())
+    assert np.median(err_auto) <= np.median(err_stale) + 1e-12
+    # bounded by the banded volume's fill margin
+    assert np.abs(auto - disp)[valid].max() < 32 + 2
