@@ -57,6 +57,10 @@ def load() -> Optional[ctypes.CDLL]:
         lib.cloud_mls.restype = None
         lib.cloud_mls.argtypes = [
             cfp, cup, ctypes.c_long, ctypes.c_float, cfp, cfp, cfp, cup]
+        lib.remap_bilinear_f32.restype = None
+        lib.remap_bilinear_f32.argtypes = [
+            cfp, ctypes.c_long, ctypes.c_long, ctypes.c_long, cfp, cfp,
+            ctypes.c_long, ctypes.c_long, ctypes.c_float, cfp]
         _LIB = lib
     except (OSError, AttributeError):  # stale .so without new symbols
         _LIB = None
@@ -169,3 +173,24 @@ def cloud_mls(pts: np.ndarray, valid: np.ndarray, radius: float,
     lib.cloud_mls(_f32p(pts), _u8p(v), len(pts), ctypes.c_float(radius),
                   _f32p(pn), _f32p(out_p), _f32p(out_n), _u8p(ok))
     return out_p, out_n, ok.astype(bool)
+
+
+def remap_bilinear(img: np.ndarray, mapx: np.ndarray, mapy: np.ndarray,
+                   fill: float = 0.0) -> Optional[np.ndarray]:
+    """Host bilinear remap (same taps/fill as core.remap.remap_bilinear);
+    None if the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    img = np.ascontiguousarray(img, np.float32)
+    mapx = np.ascontiguousarray(mapx, np.float32)
+    mapy = np.ascontiguousarray(mapy, np.float32)
+    H, W, C = img.shape
+    Ho, Wo = mapx.shape
+    out = np.empty((Ho, Wo, C), np.float32)
+    lib.remap_bilinear_f32(_f32p(img), H, W, C, _f32p(mapx), _f32p(mapy),
+                           Ho, Wo, ctypes.c_float(fill), _f32p(out))
+    return out[..., 0] if squeeze else out

@@ -297,3 +297,39 @@ void cloud_mls(const float* pts, const uint8_t* valid, long n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host bilinear remap (the rectification warp).  Mirrors
+// core/remap.remap_bilinear exactly: 4 taps, BORDER_CONSTANT(fill),
+// float32 math.  On the tunneled relay the device remap costs
+// ~4.5 s/pair (serialized 2D gathers) plus a ~1.5 s fetch of the
+// result; on host it is memory-bandwidth work and the rectified images
+// are already host-resident for texturing.
+// ---------------------------------------------------------------------------
+
+extern "C" void remap_bilinear_f32(const float* img, long H, long W, long C,
+                                   const float* mapx, const float* mapy,
+                                   long Ho, long Wo, float fill,
+                                   float* out) {
+#pragma omp parallel for schedule(static)
+    for (long r = 0; r < Ho; ++r) {
+        for (long c = 0; c < Wo; ++c) {
+            float mx = mapx[r * Wo + c];
+            float my = mapy[r * Wo + c];
+            float x0f = std::floor(mx), y0f = std::floor(my);
+            float fx = mx - x0f, fy = my - y0f;
+            long x0 = (long)x0f, y0 = (long)y0f;
+            float* o = out + (r * Wo + c) * C;
+            for (long ch = 0; ch < C; ++ch) {
+                auto tap = [&](long yi, long xi) -> float {
+                    if (xi < 0 || xi >= W || yi < 0 || yi >= H) return fill;
+                    return img[(yi * W + xi) * C + ch];
+                };
+                float top = tap(y0, x0) * (1.f - fx) + tap(y0, x0 + 1) * fx;
+                float bot = tap(y0 + 1, x0) * (1.f - fx)
+                          + tap(y0 + 1, x0 + 1) * fx;
+                o[ch] = top * (1.f - fy) + bot * fy;
+            }
+        }
+    }
+}

@@ -147,13 +147,15 @@ def reconstruct(
                 block_ready(res.cloud)  # spans are honest under async dispatch
             cloud = res.cloud
             with timer.span(f"pair{pi}/filter"):
-                # ONE device->host sync per pair: both stage grids take
-                # their geometry from this host copy (the three separate
-                # in-stage transfers serialized the pair loop, VERDICT
-                # r2 weak #5; pre-SOR validity is a superset bbox, fine
-                # for the normals grid).
-                host_xyz = np.asarray(cloud.xyz, np.float32)
-                host_valid = np.asarray(cloud.valid).astype(bool)
+                # ONE packed device->host sync per pair: both stage
+                # grids take their geometry from this host copy (the
+                # three separate in-stage transfers serialized the pair
+                # loop, VERDICT r2 weak #5; pre-SOR validity is a
+                # superset bbox, fine for the normals grid), and the
+                # colors ride along so no later fetch is needed.
+                from reconstruction_tpu.utils.transfer import fetch_packed
+                host_xyz, host_valid, host_colors = fetch_packed(
+                    [cloud.xyz, cloud.valid, cloud.colors])
                 # SOR (`CCloudOptimization.cpp:82-86`)
                 keep = sor_filter(cloud.xyz, cloud.valid,
                                   mean_k=cfg.cloud.sor_mean_k,
@@ -173,7 +175,7 @@ def reconstruct(
             keepn = np.asarray(keep)
             xyz = host_xyz[keepn]
             nrm = np.asarray(nrm_j)[keepn]
-            col = np.asarray(cloud.colors)[keepn]
+            col = host_colors[keepn]
             mask0 = None
             drift_p99 = float(res.refine_drift.max())
             stats.add(f"pair{pi}", raw_points=int(host_valid.sum()),
@@ -294,7 +296,8 @@ def reconstruct(
     with timer.span("texture"):
         vnorm = _vertex_normals(verts, faces)
         cams = texture_cameras(pair_results)
-        colors = (texture_vertices(verts, vnorm, cams) if cams
+        colors = (texture_vertices(verts, vnorm, cams,
+                                   backend=cfg.cloud.backend) if cams
                   else np.full((len(verts), 3), 127.0))
     if output_path:
         write_ply(output_path, verts, colors=colors, faces=faces,

@@ -182,22 +182,48 @@ def match_pair(
     working = cfg.finest_size
     rect = rectify_pair(K0, Rt0, K1, Rt1, origin_size, working)
 
+    from reconstruction_tpu.cloud.backend import resolve_backend
+    use_native = resolve_backend(cfg.cloud.backend) == "native"
+    if use_native:
+        from reconstruction_tpu import native as native_mod
+        use_native = native_mod.available()
+
     # Remap both views to the rectified working grid
-    # (`CStereoMatching.cpp:140-158`).
+    # (`CStereoMatching.cpp:140-158`).  On the native backend the warp
+    # runs on HOST (tools/profile_pair.py: the device remap cost
+    # 4.5 s/pair of serialized 2D gathers plus a 1.5 s fetch of images
+    # the host needs anyway for texturing); only the quantized uint8
+    # results upload.
     imgs, masks, raw_masks = [], [], []
+    host_imgs, host_raw_masks = [], []
     se = cfg.stereo.mask_erode_base * (1 << (cfg.pyramid_levels - 1))
     for img, msk, Rr, P in ((image0, mask0, rect.R1, rect.P1_scaled),
                             (image1, mask1, rect.R2, rect.P2_scaled)):
         K = K0 if img is image0 else K1
         mx, my = rectify_map(K, Rr, P, working)
-        im = remap_bilinear(jnp.asarray(img, jnp.float32),
-                            jnp.asarray(mx), jnp.asarray(my))
-        mk = remap_bilinear(jnp.asarray(msk, jnp.float32),
-                            jnp.asarray(mx), jnp.asarray(my))
-        raw_masks.append(mk)       # pre-erosion (texturing uses this)
-        mk = erode_mask(mk, se)
-        imgs.append(quantize_u8(im))
-        masks.append(mk)
+        if use_native:
+            im_h = native_mod.remap_bilinear(np.asarray(img, np.float32),
+                                             mx, my)
+            mk_h = native_mod.remap_bilinear(np.asarray(msk, np.float32),
+                                             mx, my)
+            im_u8 = np.clip(np.round(im_h), 0, 255).astype(np.uint8)
+            mk_u8 = np.clip(np.round(mk_h), 0, 255).astype(np.uint8)
+            host_imgs.append(im_u8)
+            host_raw_masks.append(mk_u8)
+            im = jnp.asarray(im_u8).astype(jnp.float32)
+            mk = jnp.asarray(mk_h)
+            raw_masks.append(mk)
+            masks.append(erode_mask(mk, se))
+            imgs.append(im)  # already on the uint8 grid
+        else:
+            im = remap_bilinear(jnp.asarray(img, jnp.float32),
+                                jnp.asarray(mx), jnp.asarray(my))
+            mk = remap_bilinear(jnp.asarray(msk, jnp.float32),
+                                jnp.asarray(mx), jnp.asarray(my))
+            raw_masks.append(mk)   # pre-erosion (texturing uses this)
+            mk = erode_mask(mk, se)
+            imgs.append(quantize_u8(im))
+            masks.append(mk)
 
     pyr0 = build_pyramid(imgs[0], cfg.pyramid_levels)
     pyr1 = build_pyramid(imgs[1], cfg.pyramid_levels)
@@ -230,17 +256,32 @@ def match_pair(
         rect.Q, rect.R_final, rect.T_final, m0, scale,
         erode_frac=cfg.stereo.cloud_erode_frac,
     )
+    # ONE packed device->host transfer for everything the host needs
+    # (each separate fetch pays ~0.5 s fixed relay latency).
+    from reconstruction_tpu.utils.transfer import fetch_packed
+    to_u8 = lambda a: jnp.clip(a, 0, 255).astype(jnp.uint8)
+    fetch = [state.disp0, jnp.asarray(drifts, jnp.float32),
+             to_u8(masks[0]), to_u8(masks[1])]
+    if host_imgs:
+        im0_h, im1_h = host_imgs
+        rm0_h, rm1_h = host_raw_masks
+    else:
+        fetch += [to_u8(imgs[0]), to_u8(imgs[1]),
+                  to_u8(quantize_u8(raw_masks[0])),
+                  to_u8(quantize_u8(raw_masks[1]))]
+    out = fetch_packed(fetch)
+    disp_h, drifts_h, em0_h, em1_h = out[:4]
+    if not host_imgs:
+        im0_h, im1_h, rm0_h, rm1_h = out[4:]
+
     return PairResult(
-        disparity=np.asarray(state.disp0),
+        disparity=disp_h,
         cloud=cloud,
         rectification=rect,
         margins0=m0,
         margins1=m1,
-        rect_images=(np.asarray(imgs[0]).astype(np.uint8),
-                     np.asarray(imgs[1]).astype(np.uint8)),
-        rect_masks=(np.asarray(quantize_u8(raw_masks[0])).astype(np.uint8),
-                    np.asarray(quantize_u8(raw_masks[1])).astype(np.uint8)),
-        refine_drift=np.asarray(drifts, np.float32),
-        rect_masks_eroded=(np.asarray(quantize_u8(masks[0])).astype(np.uint8),
-                           np.asarray(quantize_u8(masks[1])).astype(np.uint8)),
+        rect_images=(im0_h, im1_h),
+        rect_masks=(rm0_h, rm1_h),
+        refine_drift=drifts_h,
+        rect_masks_eroded=(em0_h, em1_h),
     )

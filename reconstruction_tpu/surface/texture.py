@@ -64,10 +64,57 @@ def texture_single_view(
     return np.asarray(col)
 
 
+def _bilinear_np(img: np.ndarray, uv: np.ndarray, fill: float) -> np.ndarray:
+    """Numpy twin of _bilinear (same taps, same out-of-bounds fill)."""
+    H, W = img.shape[:2]
+    x, y = uv[:, 0], uv[:, 1]
+    x0 = np.floor(x).astype(np.int64)
+    y0 = np.floor(y).astype(np.int64)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+
+    def tap(yi, xi):
+        ok = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        val = img[np.clip(yi, 0, H - 1), np.clip(xi, 0, W - 1)]
+        return np.where(ok[:, None], val, fill)
+
+    return (tap(y0, x0) * (1 - fx) * (1 - fy) + tap(y0, x0 + 1) * fx * (1 - fy)
+            + tap(y0 + 1, x0) * (1 - fx) * fy + tap(y0 + 1, x0 + 1) * fx * fy)
+
+
+def texture_vertices_np(verts, normals, cameras) -> np.ndarray:
+    """Pure-host texture blend (same math as texture_vertices).  On the
+    tunneled relay each jnp view pays multi-second dispatch/fetch round
+    trips — the r3 bench measured the device blend at 48 s of a 131 s
+    total while the equivalent numpy work is ~1 s."""
+    verts = np.asarray(verts, np.float32)
+    normals = np.asarray(normals, np.float32)
+    acc = np.zeros((len(verts), 3), np.float32)
+    wacc = np.zeros((len(verts),), np.float32)
+    vh = np.concatenate([verts, np.ones_like(verts[:, :1])], axis=1)
+    for P, image, mask, center in cameras:
+        p = vh @ np.asarray(P, np.float32).T
+        z = p[:, 2]
+        uv = p[:, :2] / np.where(np.abs(z) > 1e-12, z, 1e-12)[:, None]
+        col = _bilinear_np(np.asarray(image, np.float32), uv, 127.0)
+        mval = _bilinear_np(np.asarray(mask, np.float32)[..., None],
+                            uv, 0.0)[:, 0]
+        view_dir = np.asarray(center, np.float32)[None] - verts
+        view_dir /= np.maximum(
+            np.linalg.norm(view_dir, axis=1, keepdims=True), 1e-9)
+        facing = (normals * view_dir).sum(1)
+        w = np.maximum(facing, 0.0) * (mval > 200.0) * (z > 0)
+        acc += col * w[:, None].astype(np.float32)
+        wacc += w.astype(np.float32)
+    return np.where(wacc[:, None] > 1e-6,
+                    acc / np.maximum(wacc, 1e-6)[:, None], 127.0)
+
+
 def texture_vertices(
     verts: np.ndarray,
     normals: np.ndarray,
     cameras: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]],
+    backend: str = "auto",
 ) -> np.ndarray:
     """Blend vertex colors over views.
 
@@ -76,9 +123,14 @@ def texture_vertices(
       normals: (V, 3) vertex normals (for view weighting).
       cameras: per view (P 3x4 world->pixel, image (H, W, 3), mask (H, W),
         center (3,) world camera center).
+      backend: "jax", "native" (numpy host blend) or "auto"
+        (cloud/backend.py resolution — host on the tunneled relay).
 
     Returns (V, 3) colors (BGR, 0..255).
     """
+    from reconstruction_tpu.cloud.backend import resolve_backend
+    if resolve_backend(backend) == "native":
+        return texture_vertices_np(verts, normals, cameras)
     verts_j = jnp.asarray(verts, jnp.float32)
     normals_j = jnp.asarray(normals, jnp.float32)
     acc = jnp.zeros((len(verts), 3), jnp.float32)

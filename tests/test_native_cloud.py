@@ -106,3 +106,54 @@ def test_backend_resolution(monkeypatch):
     monkeypatch.delenv("RECON_CLOUD_BACKEND")
     # tests pin the cpu platform -> auto resolves to jax
     assert resolve_backend("auto") == "jax"
+
+
+def test_texture_np_matches_jax(rng):
+    """Host texture blend == device blend (same taps, weights, fills)."""
+    from reconstruction_tpu.surface.texture import (texture_vertices,
+                                                    texture_vertices_np)
+    V = 500
+    verts = rng.uniform(-1, 1, (V, 3)).astype(np.float32)
+    normals = rng.normal(size=(V, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    cams = []
+    for k in range(3):
+        K = np.array([[100.0, 0, 32], [0, 100, 32], [0, 0, 1]])
+        R = np.eye(3)
+        t = np.array([0.0, 0, 4.0 + k])
+        P = (K @ np.hstack([R, t[:, None]])).astype(np.float32)
+        img = rng.uniform(0, 255, (64, 64, 3)).astype(np.float32)
+        mask = (rng.uniform(size=(64, 64)) > 0.3).astype(np.float32) * 255
+        cams.append((P, img, mask, -R.T @ t))
+    a = texture_vertices(verts, normals, cams, backend="jax")
+    b = texture_vertices_np(verts, normals, cams)
+    np.testing.assert_allclose(a, b, atol=2e-2)
+
+
+def test_remap_native_matches_jax(rng):
+    from reconstruction_tpu.core.remap import remap_bilinear
+    img = rng.uniform(0, 255, (37, 53, 3)).astype(np.float32)
+    mx = rng.uniform(-3, 56, (21, 31)).astype(np.float32)
+    my = rng.uniform(-3, 40, (21, 31)).astype(np.float32)
+    a = np.asarray(remap_bilinear(jnp.asarray(img), jnp.asarray(mx),
+                                  jnp.asarray(my)))
+    b = native.remap_bilinear(img, mx, my)
+    np.testing.assert_allclose(a, b, atol=1e-3)
+    # 2-D (mask) variant
+    a2 = np.asarray(remap_bilinear(jnp.asarray(img[..., 0]),
+                                   jnp.asarray(mx), jnp.asarray(my)))
+    b2 = native.remap_bilinear(img[..., 0], mx, my)
+    np.testing.assert_allclose(a2, b2, atol=1e-3)
+
+
+def test_fetch_packed_roundtrip(rng):
+    from reconstruction_tpu.utils.transfer import fetch_packed
+    arrs = [jnp.asarray(rng.normal(size=(7, 5)).astype(np.float32)),
+            jnp.asarray(rng.integers(0, 255, (4, 3)).astype(np.uint8)),
+            jnp.asarray(rng.uniform(size=11) > 0.5),
+            np.arange(4),  # numpy passthrough
+            jnp.asarray(rng.integers(-5, 5, (2, 2)).astype(np.int32))]
+    out = fetch_packed(arrs)
+    for a, o in zip(arrs, out):
+        np.testing.assert_array_equal(np.asarray(a), o)
+        assert np.asarray(a).dtype == o.dtype
