@@ -177,10 +177,39 @@ def _time_op(fn, *args, reps=3):
         n *= 2
 
 
+def _time_chained(make_loop, n_lo, n_hi, reps=2):
+    """Pure on-device seconds per unit of work via TWO-POINT
+    differencing of a single jitted lax.fori_loop: (t(n_hi) - t(n_lo))
+    / (n_hi - n_lo).  Cancels BOTH the per-dispatch relay round trip
+    (~0.1-0.6 s, which swamped per-call timings) and the fetch fence
+    latency; the loop body chains each iteration's output into the next
+    input so nothing can be elided.
+
+    make_loop(n) -> a 0-arg callable returning a scalar jax value that
+    depends on n chained kernel executions.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def run(n):
+        fn = make_loop(n)
+        float(jnp.asarray(fn()).astype(jnp.float32))  # compile + warm
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(jnp.asarray(fn()).astype(jnp.float32))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    return max(run(n_hi) - run(n_lo), 1e-9) / (n_hi - n_lo)
+
+
 def measure_kernels(chip):
     """On-chip seconds for the three hot kernels, fed through the
     analytic FLOP/byte model (utils/profiling.py) -> measured roofline."""
+    import jax
     import jax.numpy as jnp
+    from functools import partial
     from reconstruction_tpu.stereo.matching import ncc_sweep_match
     from reconstruction_tpu.stereo.refine import disparity_refine
     from reconstruction_tpu.stereo.margins import find_margin
@@ -199,28 +228,43 @@ def measure_kernels(chip):
     out = {}
 
     # 1. NCC cost-volume sweep: fixed 64-shift span (uniform bounds so
-    # the analytic shift count is exact).
+    # the analytic shift count is exact).  The fori_loop body perturbs
+    # the left image by the previous disparity's [0,0] so iterations
+    # chain (nothing hoists/elides).
     nsh = 64
     lo = jnp.zeros((H, W), jnp.int32)
     hi = jnp.full((H, W), nsh - 1, jnp.int32)
 
-    def sweep():
-        return ncc_sweep_match(imgLj, imgRj, vj, vj, lo, hi, 2).disparity
+    def make_sweep_loop(n):
+        @jax.jit
+        def fn():
+            def body(i, acc):
+                d = ncc_sweep_match(imgLj + acc * 1e-30, imgRj, vj, vj,
+                                    lo, hi, 2).disparity
+                return acc + d[0, 0]
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+        return fn
 
-    t = _time_op(sweep)
+    t = _time_chained(make_sweep_loop, 1, 5)
     c = ncc_sweep_cost(H, W, 3, 2, nsh)
     out["ncc_sweep"] = dict(seconds=round(t, 4), **_round(
         c.utilization(t, chip)))
 
     # 2. Subpixel refine, 30 sweeps at the finest shape (the production
-    # implementation the pipeline selects on this backend).
-    disp = np.where(valid, 40.0, NOMATCH).astype(np.float32)
+    # implementation the pipeline selects on this backend).  Chained by
+    # feeding each refine's output disparity into the next call.
+    disp0 = jnp.asarray(np.where(valid, 40.0, NOMATCH).astype(np.float32))
 
-    def refine():
-        return disparity_refine(jnp.asarray(disp), imgLj, imgRj, m,
-                                iterations=30, ws=0.03)
+    def make_refine_loop(n):
+        @jax.jit
+        def fn():
+            def body(i, d):
+                return disparity_refine(d, imgLj, imgRj, m,
+                                        iterations=30, ws=0.03)
+            return jax.lax.fori_loop(0, n, body, disp0)[0, 0]
+        return fn
 
-    t = _time_op(refine, reps=2)
+    t = _time_chained(make_refine_loop, 1, 3)
     c = refine_cost(H, W, 30, 128, build_shifts=40)
     out["refine"] = dict(seconds=round(t, 4), **_round(c.utilization(t, chip)))
 
@@ -238,11 +282,19 @@ def measure_kernels(chip):
         obs_ok=jnp.asarray(np.ones((M, O), bool)))
     poses0 = jnp.zeros((C, 6), jnp.float32)
 
-    def schur():
-        poses, points, cost = ba_step(prob, poses0, prob.points0, C)
-        return poses
+    def make_schur_loop(n):
+        @jax.jit
+        def fn():
+            def body(i, carry):
+                poses, points = carry
+                poses2, points2, cost = ba_step(prob, poses, points, C)
+                return (poses2, points2)
+            poses, points = jax.lax.fori_loop(0, n, body,
+                                              (poses0, prob.points0))
+            return poses[0, 0]
+        return fn
 
-    t = _time_op(schur)
+    t = _time_chained(make_schur_loop, 1, 5)
     c = schur_cost(M, O, C)
     out["ba_schur"] = dict(seconds=round(t, 4),
                            **_round(c.utilization(t, chip)))

@@ -61,6 +61,11 @@ def load() -> Optional[ctypes.CDLL]:
         lib.remap_bilinear_f32.argtypes = [
             cfp, ctypes.c_long, ctypes.c_long, ctypes.c_long, cfp, cfp,
             ctypes.c_long, ctypes.c_long, ctypes.c_float, cfp]
+        cdp = ctypes.POINTER(ctypes.c_double)
+        lib.laplacian_cotan.restype = None
+        lib.laplacian_cotan.argtypes = [
+            cdp, ctypes.c_long, ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_long, ctypes.c_int, ctypes.c_double, cup]
         _LIB = lib
     except (OSError, AttributeError):  # stale .so without new symbols
         _LIB = None
@@ -194,3 +199,21 @@ def remap_bilinear(img: np.ndarray, mapx: np.ndarray, mapy: np.ndarray,
     lib.remap_bilinear_f32(_f32p(img), H, W, C, _f32p(mapx), _f32p(mapy),
                            Ho, Wo, ctypes.c_float(fill), _f32p(out))
     return out[..., 0] if squeeze else out
+
+
+def laplacian_cotan(verts: np.ndarray, faces: np.ndarray, iterations: int,
+                    lam: float, is_bnd: np.ndarray) -> Optional[np.ndarray]:
+    """In-place-style cotangent Laplacian smoothing; returns the smoothed
+    float64 vertex array, or None if the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(verts, np.float64).copy()
+    f = np.ascontiguousarray(faces, np.int32)
+    bnd = np.ascontiguousarray(is_bnd, np.uint8)
+    lib.laplacian_cotan(v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                        len(v), f.ctypes.data_as(
+                            ctypes.POINTER(ctypes.c_int32)),
+                        len(f), int(iterations), float(lam),
+                        bnd.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return v

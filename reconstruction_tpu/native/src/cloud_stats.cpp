@@ -333,3 +333,83 @@ extern "C" void remap_bilinear_f32(const float* img, long H, long W, long C,
         }
     }
 }
+
+// ---------------------------------------------------------------------------
+// Cotangent Laplacian smoothing (surface/mesh.laplacian_smooth's inner
+// loop): per iteration, edge (j,k) of each face accumulates the cot of
+// the opposite angle symmetrically; vertices move toward the weighted
+// neighbor average (lam blend), boundary vertices pinned.  The numpy
+// formulation allocates ~30 temporaries of 60 MB per iteration; here it
+// is one fused pass with per-thread accumulators.
+// ---------------------------------------------------------------------------
+
+extern "C" void laplacian_cotan(double* v, long nv, const int32_t* faces,
+                                long nf, int iterations, double lam,
+                                const uint8_t* is_bnd) {
+    std::vector<double> acc((size_t)nv * 3), deg(nv), nxt((size_t)nv * 3);
+    for (int it = 0; it < iterations; ++it) {
+        std::fill(acc.begin(), acc.end(), 0.0);
+        std::fill(deg.begin(), deg.end(), 0.0);
+#pragma omp parallel
+        {
+            std::vector<double> la((size_t)nv * 3, 0.0), ld(nv, 0.0);
+#pragma omp for schedule(static) nowait
+            for (long f = 0; f < nf; ++f) {
+                int idx[3] = {faces[3 * f], faces[3 * f + 1],
+                              faces[3 * f + 2]};
+                for (int corner = 0; corner < 3; ++corner) {
+                    int a = idx[corner];
+                    int b = idx[(corner + 1) % 3];
+                    int c = idx[(corner + 2) % 3];
+                    double ux = v[3 * b] - v[3 * a];
+                    double uy = v[3 * b + 1] - v[3 * a + 1];
+                    double uz = v[3 * b + 2] - v[3 * a + 2];
+                    double wx = v[3 * c] - v[3 * a];
+                    double wy = v[3 * c + 1] - v[3 * a + 1];
+                    double wz = v[3 * c + 2] - v[3 * a + 2];
+                    double cx = uy * wz - uz * wy;
+                    double cy = uz * wx - ux * wz;
+                    double cz = ux * wy - uy * wx;
+                    double cross = std::sqrt(cx * cx + cy * cy + cz * cz);
+                    double dot = ux * wx + uy * wy + uz * wz;
+                    double cot = dot / std::max(cross, 1e-12);
+                    cot = std::min(std::max(cot, 0.0), 1e3);
+                    // edge (b,c) gets cot at a, symmetric
+                    for (int dir = 0; dir < 2; ++dir) {
+                        int r = dir ? c : b;
+                        int s = dir ? b : c;
+                        la[3 * r] += cot * v[3 * s];
+                        la[3 * r + 1] += cot * v[3 * s + 1];
+                        la[3 * r + 2] += cot * v[3 * s + 2];
+                        ld[r] += cot;
+                    }
+                }
+            }
+#pragma omp critical
+            {
+                for (long i = 0; i < nv; ++i) {
+                    acc[3 * i] += la[3 * i];
+                    acc[3 * i + 1] += la[3 * i + 1];
+                    acc[3 * i + 2] += la[3 * i + 2];
+                    deg[i] += ld[i];
+                }
+            }
+        }
+#pragma omp parallel for schedule(static)
+        for (long i = 0; i < nv; ++i) {
+            if (is_bnd[i]) {
+                nxt[3 * i] = v[3 * i];
+                nxt[3 * i + 1] = v[3 * i + 1];
+                nxt[3 * i + 2] = v[3 * i + 2];
+                continue;
+            }
+            double d = std::max(deg[i], 1e-12);
+            for (int ax = 0; ax < 3; ++ax) {
+                double avg = acc[3 * i + ax] / d;
+                nxt[3 * i + ax] = v[3 * i + ax]
+                                  + lam * (avg - v[3 * i + ax]);
+            }
+        }
+        std::memcpy(v, nxt.data(), sizeof(double) * (size_t)nv * 3);
+    }
+}

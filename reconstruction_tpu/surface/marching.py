@@ -150,12 +150,17 @@ def _dedup_triangles(tris: np.ndarray, origin: np.ndarray,
                      spacing: float) -> Tuple[np.ndarray, np.ndarray]:
     """Triangle soup -> deduplicated (verts, faces) on a fine lattice."""
     flat = tris.reshape(-1, 3)
-    key = np.round(flat * 1024.0).astype(np.int64)
-    uniq, inv = np.unique(key, axis=0, return_inverse=True)
-    V = np.zeros((len(uniq), 3))
-    cnt = np.zeros(len(uniq))
-    np.add.at(V, inv, flat)
-    np.add.at(cnt, inv, 1.0)
+    key3 = np.round(flat * 1024.0).astype(np.int64)
+    key3 -= key3.min(axis=0)
+    # Pack the lattice triple into ONE int64 (np.unique with axis=0 runs
+    # a structured-void sort — ~7 s at 3.7M corners; the 1-D path is
+    # ~10x faster).  Grid coords are bounded by resolution*1024 < 2^21.
+    assert int(key3.max()) < (1 << 21)
+    key = (key3[:, 0] << 42) | (key3[:, 1] << 21) | key3[:, 2]
+    uniq, inv = np.unique(key, return_inverse=True)
+    cnt = np.bincount(inv, minlength=len(uniq)).astype(np.float64)
+    V = np.stack([np.bincount(inv, weights=flat[:, a],
+                              minlength=len(uniq)) for a in range(3)], -1)
     V /= cnt[:, None]
     F = inv.reshape(-1, 3).astype(np.int32)
     # drop degenerate faces

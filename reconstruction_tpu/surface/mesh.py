@@ -200,13 +200,35 @@ def laplacian_smooth(
     is_bnd = np.zeros(nv, bool)
     is_bnd[bnd_v] = True
 
+    if cotangent:
+        # Fused native path (C++/OpenMP, native/src/cloud_stats.cpp):
+        # the numpy formulation allocates ~30 temporaries of 60 MB per
+        # iteration at production vertex counts.
+        from reconstruction_tpu import native
+        out = native.laplacian_cotan(v, faces, iterations, lam,
+                                     is_bnd if preserve_boundary
+                                     else np.zeros(nv, bool))
+        if out is not None:
+            return out
+
+    # Precomputed edge index arrays: the sparsity never changes across
+    # iterations, only the cotangent weights do, so the weighted average
+    # is 4 bincounts per iteration instead of a sparse-matrix rebuild
+    # (13.4 s -> ~3 s for 5 iterations at 615k verts).
+    i, j, k = faces[:, 0], faces[:, 1], faces[:, 2]
+    rows = np.concatenate([j, k, k, i, i, j])
+    cols = np.concatenate([k, j, i, k, j, i])
     for _ in range(iterations):
         if cotangent:
-            W = _cotan_weights(v, faces, nv)
+            w = _cotan_edge_weights(v, faces)
         else:
-            W = _vertex_adjacency(nv, faces)
-        deg = np.maximum(np.asarray(W.sum(axis=1)).ravel(), 1e-12)
-        avg = (W @ v) / deg[:, None]
+            w = np.ones(len(rows))
+        wv = w[:, None] * v[cols]
+        acc = np.empty_like(v)
+        for ax in range(3):
+            acc[:, ax] = np.bincount(rows, weights=wv[:, ax], minlength=nv)
+        deg = np.maximum(np.bincount(rows, weights=w, minlength=nv), 1e-12)
+        avg = acc / deg[:, None]
         upd = v + lam * (avg - v)
         if preserve_boundary:
             upd[is_bnd] = v[is_bnd]
@@ -214,7 +236,9 @@ def laplacian_smooth(
     return v
 
 
-def _cotan_weights(v: np.ndarray, faces: np.ndarray, nv: int) -> sp.csr_matrix:
+def _cotan_edge_weights(v: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Per-edge cotangent weights in the fixed (rows, cols) order used
+    by laplacian_smooth: edge (j,k) gets cot at i, etc."""
     i, j, k = faces[:, 0], faces[:, 1], faces[:, 2]
 
     def cot(a, b, c):
@@ -225,10 +249,6 @@ def _cotan_weights(v: np.ndarray, faces: np.ndarray, nv: int) -> sp.csr_matrix:
         dot = (u * w).sum(1)
         return dot / np.maximum(cross, 1e-12)
 
-    # edge (j,k) gets cot at i, etc.
-    rows = np.concatenate([j, k, k, i, i, j])
-    cols = np.concatenate([k, j, i, k, j, i])
-    w = np.concatenate([cot(i, j, k)] * 2 + [cot(j, k, i)] * 2 + [cot(k, i, j)] * 2)
-    w = np.clip(w, 0.0, 1e3)  # clamp negatives (obtuse) for stability
-    W = sp.coo_matrix((w, (rows, cols)), shape=(nv, nv)).tocsr()
-    return W
+    w = np.concatenate([cot(i, j, k)] * 2 + [cot(j, k, i)] * 2
+                       + [cot(k, i, j)] * 2)
+    return np.clip(w, 0.0, 1e3)  # clamp negatives (obtuse) for stability

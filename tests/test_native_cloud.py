@@ -157,3 +157,27 @@ def test_fetch_packed_roundtrip(rng):
     for a, o in zip(arrs, out):
         np.testing.assert_array_equal(np.asarray(a), o)
         assert np.asarray(a).dtype == o.dtype
+
+
+def test_laplacian_native_matches_numpy(rng):
+    from reconstruction_tpu.surface import mesh as M
+    import reconstruction_tpu.native as nat
+    n = 30
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    verts = np.stack([xs.ravel(), ys.ravel(),
+                      rng.normal(0, 0.1, n * n)], -1).astype(np.float64)
+    faces = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a = i * n + j
+            faces += [[a, a + 1, a + n], [a + 1, a + n + 1, a + n]]
+    faces = np.asarray(faces, np.int32)
+    v_nat = M.laplacian_smooth(verts, faces, iterations=5, cotangent=True)
+    orig = nat.laplacian_cotan
+    try:
+        nat.laplacian_cotan = lambda *a, **k: None  # force numpy path
+        v_np = M.laplacian_smooth(verts, faces, iterations=5,
+                                  cotangent=True)
+    finally:
+        nat.laplacian_cotan = orig
+    np.testing.assert_allclose(v_nat, v_np, atol=1e-9)
