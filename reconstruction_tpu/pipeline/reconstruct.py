@@ -133,95 +133,131 @@ def reconstruct(
     all_col: List[np.ndarray] = []
     pair_results: List[Optional[PairResult]] = []
 
+    from reconstruction_tpu.cloud.backend import resolve_backend
+    from reconstruction_tpu.utils.transfer import fetch_packed
+    import time as _time
+
+    def filter_pair(res):
+        """SOR + normals for one pair (`CCloudOptimization::filter`,
+        `CCloudOptimization.cpp:64-121`).  On the native backend this is
+        pure host work, so it runs in a worker thread OVERLAPPED with
+        the next pair's device stereo (the reference processes pairs
+        strictly sequentially, `CStereoMatching.cpp:17`)."""
+        t0 = _time.perf_counter()
+        cloud = res.cloud
+        # ONE packed device->host sync per pair: both stage grids take
+        # their geometry from this host copy (three separate in-stage
+        # transfers serialized the pair loop, VERDICT r2 weak #5), and
+        # the colors ride along so no later fetch is needed.
+        host_xyz, host_valid, host_colors = fetch_packed(
+            [cloud.xyz, cloud.valid, cloud.colors])
+        # SOR (`CCloudOptimization.cpp:82-86`)
+        keep = sor_filter(cloud.xyz, cloud.valid,
+                          mean_k=cfg.cloud.sor_mean_k,
+                          std_thresh=cfg.cloud.sor_std_thresh,
+                          host_points=host_xyz, host_valid=host_valid,
+                          backend=cfg.cloud.backend)
+        # normals + flip toward the pair camera (`:101-121`)
+        center = jnp.asarray(res.rectification.T_final, jnp.float32)
+        nrm_j = estimate_normals(cloud.xyz, keep,
+                                 radius=cfg.cloud.mls_radius,
+                                 viewpoint=center,
+                                 host_points=host_xyz,
+                                 host_valid=host_valid,
+                                 backend=cfg.cloud.backend)
+        block_ready((keep, nrm_j))
+        keepn = np.asarray(keep)
+        return dict(xyz=host_xyz[keepn], nrm=np.asarray(nrm_j)[keepn],
+                    col=host_colors[keepn],
+                    raw_points=int(host_valid.sum()),
+                    filter_s=_time.perf_counter() - t0)
+
+    # The overlap is only a win when the filter is host-bound (native
+    # backend); the jax backend would contend for the single device.
+    overlap = (resolve_backend(cfg.cloud.backend) == "native"
+               and len(pairs) > 1)
+    pool = None
+    if overlap:
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=1)
+
+    jobs: List = []  # (pi, res_or_None, future_or_dict_or_cached)
     for pi, pin in enumerate(pairs):
         log.info("pair %d/%d: stereo matching", pi + 1, len(pairs))
         cached = store.load("pair_cloud", pi) if store else None
         if cached is not None:
-            xyz, nrm, col, mask0 = (cached["xyz"], cached["nrm"],
-                                    cached["col"], cached["mask0"])
-            res = None
+            jobs.append((pi, None, cached))
+            continue
+        with timer.span(f"pair{pi}/stereo"):
+            res = match_pair(cfg, pin.image0, pin.image1, pin.mask0,
+                             pin.mask1, pin.K0, pin.Rt0, pin.K1, pin.Rt1)
+            block_ready(res.cloud)  # spans are honest under async dispatch
+        if pool is not None:
+            jobs.append((pi, res, pool.submit(filter_pair, res)))
         else:
-            with timer.span(f"pair{pi}/stereo"):
-                res = match_pair(cfg, pin.image0, pin.image1, pin.mask0,
-                                 pin.mask1, pin.K0, pin.Rt0, pin.K1, pin.Rt1)
-                block_ready(res.cloud)  # spans are honest under async dispatch
-            cloud = res.cloud
             with timer.span(f"pair{pi}/filter"):
-                # ONE packed device->host sync per pair: both stage
-                # grids take their geometry from this host copy (the
-                # three separate in-stage transfers serialized the pair
-                # loop, VERDICT r2 weak #5; pre-SOR validity is a
-                # superset bbox, fine for the normals grid), and the
-                # colors ride along so no later fetch is needed.
-                from reconstruction_tpu.utils.transfer import fetch_packed
-                host_xyz, host_valid, host_colors = fetch_packed(
-                    [cloud.xyz, cloud.valid, cloud.colors])
-                # SOR (`CCloudOptimization.cpp:82-86`)
-                keep = sor_filter(cloud.xyz, cloud.valid,
-                                  mean_k=cfg.cloud.sor_mean_k,
-                                  std_thresh=cfg.cloud.sor_std_thresh,
-                                  host_points=host_xyz,
-                                  host_valid=host_valid,
-                                  backend=cfg.cloud.backend)
-                # normals + flip toward the pair camera (`:101-121`)
-                center = jnp.asarray(res.rectification.T_final, jnp.float32)
-                nrm_j = estimate_normals(cloud.xyz, keep,
-                                         radius=cfg.cloud.mls_radius,
-                                         viewpoint=center,
-                                         host_points=host_xyz,
-                                         host_valid=host_valid,
-                                         backend=cfg.cloud.backend)
-                block_ready((keep, nrm_j))
-            keepn = np.asarray(keep)
-            xyz = host_xyz[keepn]
-            nrm = np.asarray(nrm_j)[keepn]
-            col = host_colors[keepn]
-            mask0 = None
-            drift_p99 = float(res.refine_drift.max())
-            stats.add(f"pair{pi}", raw_points=int(host_valid.sum()),
-                      kept_points=len(xyz),
-                      refine_drift_p99=round(drift_p99, 2))
-            # Mini-CV refine window budget: ~+-12 slots of the anchors
-            # (re-centered mid-run by default).  Past it the refine read
-            # neutral costs — the capture is pathological for the banded
-            # formulation; surface it instead of silently diverging.
-            if drift_p99 > 12.0:
-                log.warning(
-                    "pair %d: refine drift p99 %.1f slots exceeds the "
-                    "mini-CV window budget (~12); raise "
-                    "refine_recenter_every cadence or the banded drift "
-                    "margin", pi, drift_p99)
-            if cfg.isoutput and artifact_dir:
-                os.makedirs(artifact_dir, exist_ok=True)
-                write_ply(os.path.join(artifact_dir, f"cloud{pi}.ply"),
-                          xyz, colors=col, color_order="bgr")
-                img0 = res.rect_images[0].astype(np.float32)
-                img1 = res.rect_images[1].astype(np.float32)
-                # Rectified-image dumps, `<pair>_<camID>.jpg` like the
-                # reference (`CStereoMatching.cpp:159-166`).
-                from reconstruction_tpu.io.images import imwrite
-                for side, img in ((0, img0), (1, img1)):
-                    cam_id = cfg.cam_pairs[pi][side]
-                    imwrite(os.path.join(artifact_dir,
-                                         f"{pi}_{cam_id}.jpg"), img)
-                # Per-pair Poisson + trim + per-camera recolor scans
-                # (`CCloudOptimization.cpp:125-143`).  NOT best-effort: a
-                # broken per-pair mesh path must fail loudly
-                # (tests/test_full_pipeline.py asserts the artifacts).
-                from reconstruction_tpu.pipeline.scan_mesh import pair_scan_mesh
-                pair_scan_mesh(
-                    cfg, xyz, nrm, pi,
-                    res.rectification.P1_world,
-                    res.rectification.P2_world,
-                    img0, img1, out_dir=artifact_dir)
-            if store:
-                store.save("pair_cloud", pi,
-                           xyz=xyz, nrm=nrm, col=col,
-                           mask0=np.zeros((1, 1), np.float32))
+                jobs.append((pi, res, filter_pair(res)))
+
+    for pi, res, payload in jobs:
+        if res is None:  # checkpoint-restored pair
+            xyz, nrm, col = payload["xyz"], payload["nrm"], payload["col"]
+            all_xyz.append(xyz)
+            all_nrm.append(nrm)
+            all_col.append(col)
+            pair_results.append(None)
+            continue
+        out = payload.result() if hasattr(payload, "result") else payload
+        xyz, nrm, col = out["xyz"], out["nrm"], out["col"]
+        if pool is not None:
+            timer.spans[f"pair{pi}/filter"] = out["filter_s"]
+        drift_p99 = float(res.refine_drift.max())
+        stats.add(f"pair{pi}", raw_points=out["raw_points"],
+                  kept_points=len(xyz),
+                  refine_drift_p99=round(drift_p99, 2))
+        # Mini-CV refine window budget: ~+-12 slots of the anchors
+        # (re-centered mid-run by default).  Past it the refine read
+        # neutral costs — the capture is pathological for the banded
+        # formulation; surface it instead of silently diverging.
+        if drift_p99 > 12.0:
+            log.warning(
+                "pair %d: refine drift p99 %.1f slots exceeds the "
+                "mini-CV window budget (~12); raise "
+                "refine_recenter_every cadence or the banded drift "
+                "margin", pi, drift_p99)
+        if cfg.isoutput and artifact_dir:
+            os.makedirs(artifact_dir, exist_ok=True)
+            write_ply(os.path.join(artifact_dir, f"cloud{pi}.ply"),
+                      xyz, colors=col, color_order="bgr")
+            img0 = res.rect_images[0].astype(np.float32)
+            img1 = res.rect_images[1].astype(np.float32)
+            # Rectified-image dumps, `<pair>_<camID>.jpg` like the
+            # reference (`CStereoMatching.cpp:159-166`).
+            from reconstruction_tpu.io.images import imwrite
+            for side, img in ((0, img0), (1, img1)):
+                cam_id = cfg.cam_pairs[pi][side]
+                imwrite(os.path.join(artifact_dir,
+                                     f"{pi}_{cam_id}.jpg"), img)
+            # Per-pair Poisson + trim + per-camera recolor scans
+            # (`CCloudOptimization.cpp:125-143`).  NOT best-effort: a
+            # broken per-pair mesh path must fail loudly
+            # (tests/test_full_pipeline.py asserts the artifacts).
+            from reconstruction_tpu.pipeline.scan_mesh import pair_scan_mesh
+            pair_scan_mesh(
+                cfg, xyz, nrm, pi,
+                res.rectification.P1_world,
+                res.rectification.P2_world,
+                img0, img1, out_dir=artifact_dir)
+        if store:
+            store.save("pair_cloud", pi,
+                       xyz=xyz, nrm=nrm, col=col,
+                       mask0=np.zeros((1, 1), np.float32))
         all_xyz.append(xyz)
         all_nrm.append(nrm)
         all_col.append(col)
         pair_results.append(res)  # None for checkpoint-restored pairs
+
+    if pool is not None:
+        pool.shutdown(wait=True)
 
     xyz = np.concatenate(all_xyz, axis=0)
     nrm = np.concatenate(all_nrm, axis=0)

@@ -257,11 +257,14 @@ def match_pair(
         erode_frac=cfg.stereo.cloud_erode_frac,
     )
     # ONE packed device->host transfer for everything the host needs
-    # (each separate fetch pays ~0.5 s fixed relay latency).
+    # (each separate fetch pays ~0.5 s fixed relay latency).  The eroded
+    # masks only gate dedup's buckets, so they stay on device unless the
+    # isdelete path is enabled.
     from reconstruction_tpu.utils.transfer import fetch_packed
     to_u8 = lambda a: jnp.clip(a, 0, 255).astype(jnp.uint8)
-    fetch = [state.disp0, jnp.asarray(drifts, jnp.float32),
-             to_u8(masks[0]), to_u8(masks[1])]
+    fetch = [state.disp0, jnp.asarray(drifts, jnp.float32)]
+    if cfg.cloud.dedup:
+        fetch += [to_u8(masks[0]), to_u8(masks[1])]
     if host_imgs:
         im0_h, im1_h = host_imgs
         rm0_h, rm1_h = host_raw_masks
@@ -270,9 +273,14 @@ def match_pair(
                   to_u8(quantize_u8(raw_masks[0])),
                   to_u8(quantize_u8(raw_masks[1]))]
     out = fetch_packed(fetch)
-    disp_h, drifts_h, em0_h, em1_h = out[:4]
+    disp_h, drifts_h = out[:2]
+    pos = 2
+    em0_h = em1_h = None
+    if cfg.cloud.dedup:
+        em0_h, em1_h = out[pos:pos + 2]
+        pos += 2
     if not host_imgs:
-        im0_h, im1_h, rm0_h, rm1_h = out[4:]
+        im0_h, im1_h, rm0_h, rm1_h = out[pos:pos + 4]
 
     return PairResult(
         disparity=disp_h,

@@ -52,16 +52,20 @@ def texture_single_view(
 ) -> np.ndarray:
     """Single-view recolor (the reference's per-pair `color_<pair>_k.ply`
     path, `CCloudOptimization.cpp:127-143`): nearest-pixel sample, gray
-    (127,127,127) outside (`:412-415`)."""
-    uv, z = project_vertices(jnp.asarray(P), jnp.asarray(verts, jnp.float32))
-    uvr = jnp.round(uv).astype(jnp.int32)
+    (127,127,127) outside (`:412-415`).  Pure host math — the values are
+    immediately written to PLY, so a device round trip buys nothing."""
+    verts = np.asarray(verts, np.float32)
+    vh = np.concatenate([verts, np.ones_like(verts[:, :1])], axis=1)
+    p = vh @ np.asarray(P, np.float32).T
+    z = p[:, 2]
+    uv = p[:, :2] / np.where(np.abs(z) > 1e-12, z, 1e-12)[:, None]
+    uvr = np.round(uv).astype(np.int64)
     H, W = image.shape[:2]
     ok = ((uvr[:, 0] >= 0) & (uvr[:, 0] < W)
           & (uvr[:, 1] >= 0) & (uvr[:, 1] < H))
-    img = jnp.asarray(image, jnp.float32)
-    col = img[jnp.clip(uvr[:, 1], 0, H - 1), jnp.clip(uvr[:, 0], 0, W - 1)]
-    col = jnp.where(ok[:, None], col, 127.0)
-    return np.asarray(col)
+    img = np.asarray(image, np.float32)
+    col = img[np.clip(uvr[:, 1], 0, H - 1), np.clip(uvr[:, 0], 0, W - 1)]
+    return np.where(ok[:, None], col, 127.0)
 
 
 def _bilinear_np(img: np.ndarray, uv: np.ndarray, fill: float) -> np.ndarray:
