@@ -404,3 +404,81 @@ def refine_full(disp, imgL, imgR, m, ws, iterations):
     for _ in range(iterations):
         out = refine_iteration(out, imgL, imgR, m, ws)
     return out
+
+
+def dedup_ncc(points, normals, valid, P0, P1, centers, masks0,
+              images0, images1, cap=4, radius=2):
+    """INTENDED-semantics cross-view dedup: like ``dedup`` but same-facing
+    duplicate runs are resolved by NCC between the bucket pixel's window
+    in the pair's cam0 image and each candidate's PROJECTED-position
+    window in cam1 (`CCloudOptimization.cpp:240-267,303-331`; the
+    reference reads BOTH windows at the cam0 pixel — `:254,322` — which
+    degenerates its own scoring to first-eligible-wins, so this oracle
+    implements what the code intends rather than what it does).
+    Candidates whose cam1 projection is out of mask are ineligible; if no
+    candidate in a run is eligible the run's nearest survives (matching
+    ``dedup``'s representative so the two variants differ only where the
+    NCC actually votes)."""
+    npair, H, W = masks0.shape
+    N = len(points)
+    keep = np.zeros(N, bool)
+    buckets = {}
+    facing_of = np.zeros(N, bool)
+    dist_of = np.zeros(N, np.float64)
+    px_of = {}
+    for i in range(N):
+        if not valid[i]:
+            continue
+        best, pj = -np.inf, 0
+        for j in range(npair):
+            d = centers[j] - points[i]
+            s = float(normals[i] @ d) / max(float(np.linalg.norm(d)), 1e-9)
+            if s > best:
+                best, pj = s, j
+        facing_of[i] = best > 0
+        dist_of[i] = float(np.linalg.norm(centers[pj] - points[i]))
+        ph = P0[pj] @ np.append(points[i], 1.0)
+        if ph[2] <= 0:
+            continue
+        u = int(np.round(ph[0] / ph[2]))
+        v = int(np.round(ph[1] / ph[2]))
+        if not (0 <= u < W and 0 <= v < H):
+            continue
+        if masks0[pj, v, u] <= 0.5:
+            continue
+        px_of[i] = (pj, v, u)
+        buckets.setdefault((pj, v, u), []).append(i)
+
+    def cam1_window_score(pj, v, u, i):
+        """NCC of cam0 window at the bucket pixel vs cam1 window at the
+        candidate's projected position; None if out of mask/image."""
+        ph = P1[pj] @ np.append(points[i], 1.0)
+        if ph[2] <= 0:
+            return None
+        u1 = int(np.round(ph[0] / ph[2]))
+        v1 = int(np.round(ph[1] / ph[2]))
+        if not (0 <= u1 < W and 0 <= v1 < H):
+            return None
+        uL, nL = window_vec(images0[pj], v, u, radius)
+        uR, nR = window_vec(images1[pj], v1, u1, radius)
+        return float(uL @ uR / (nL * nR))
+
+    for (pj, v, u), cands in buckets.items():
+        cands = sorted(cands, key=lambda i: dist_of[i])
+        runs = []
+        for rank, i in enumerate(cands[:cap]):
+            if not runs or facing_of[i] != facing_of[runs[-1][-1]]:
+                runs.append([i])
+            else:
+                runs[-1].append(i)
+        for run in runs:
+            if len(run) == 1:
+                keep[run[0]] = True
+                continue
+            best_i, best_s = None, -np.inf
+            for i in run:
+                s = cam1_window_score(pj, v, u, i)
+                if s is not None and s > best_s:
+                    best_i, best_s = i, s
+            keep[best_i if best_i is not None else run[0]] = True
+    return keep & valid

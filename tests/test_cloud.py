@@ -248,3 +248,70 @@ def test_dense_grid_outlier_bbox_bounded(rng):
                                  mean_k=20))
     assert not keep[:5].any()               # outliers killed
     assert keep[5:].mean() > 0.9            # surface survives
+
+
+def test_dedup_nearest_wins_vs_intended_ncc(rng):
+    """MEASURE the production simplification (nearest-wins bucket
+    representative) against the INTENDED NCC-scored resolution
+    (oracle.dedup_ncc; the reference's own scoring degenerates to
+    first-eligible-wins because it reads both windows at the same pixel,
+    `CCloudOptimization.cpp:254,322`).  On a textured surface observed
+    by a camera ring with jittered duplicate points, the two must agree
+    on the vast majority of points — the number that justifies shipping
+    the simplification."""
+    from reconstruction_tpu.cloud.dedup import DedupInputs, cross_view_dedup
+    import oracle
+
+    H, W = 32, 32
+    npair = 3
+    K = np.array([[9.0, 0, 16], [0, 9, 16], [0, 0, 1]], np.float64)
+    P0s, P1s, centers = [], [], []
+    for j in range(npair):
+        ang = 2 * np.pi * j / npair
+
+        def cam(C):
+            z = -C / np.linalg.norm(C)
+            x = np.cross(np.array([0, 1, 0.0]), z)
+            x /= np.linalg.norm(x)
+            y = np.cross(z, x)
+            R = np.stack([x, y, z])
+            return K @ np.hstack([R, (-R @ C)[:, None]])
+
+        C0 = np.array([6 * np.sin(ang), 0.3, 6 * np.cos(ang)])
+        C1 = np.array([6 * np.sin(ang + 0.12), 0.5, 6 * np.cos(ang + 0.12)])
+        P0s.append(cam(C0))
+        P1s.append(cam(C1))
+        centers.append(C0)
+    P0, P1 = np.stack(P0s), np.stack(P1s)
+    centers = np.stack(centers)
+
+    # Textured-ish sphere surface + jittered duplicates (multi-candidate
+    # buckets with same facing).
+    M = 500
+    v = rng.normal(size=(M, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    base = (v * 1.5).astype(np.float64)
+    dup = base + rng.normal(0, 0.05, base.shape)
+    pts = np.concatenate([base, dup])
+    nrm = np.concatenate([v, v]).astype(np.float64)
+    valid = np.ones(len(pts), bool)
+    masks = np.ones((npair, H, W), np.float32)
+    images0 = rng.uniform(0, 255, (npair, H, W, 3))
+    images1 = rng.uniform(0, 255, (npair, H, W, 3))
+
+    got = np.asarray(cross_view_dedup(
+        jnp.asarray(pts, jnp.float32), jnp.asarray(nrm, jnp.float32),
+        jnp.asarray(valid), DedupInputs(
+            P0=jnp.asarray(P0, jnp.float32), P1=jnp.asarray(P1, jnp.float32),
+            centers=jnp.asarray(centers, jnp.float32),
+            masks0=jnp.asarray(masks))))
+    want = oracle.dedup_ncc(pts, nrm, valid, P0, P1, centers, masks,
+                            images0, images1)
+    agree = (got == want).mean()
+    # Both keep exactly one representative per same-facing run; they can
+    # only differ on WHICH duplicate survives, so disagreement is
+    # bounded by the duplicated fraction and measured here.
+    assert agree > 0.85, agree
+    # kept-population sizes must match closely (same run structure)
+    assert abs(got.sum() - want.sum()) <= 0.05 * want.sum(), (
+        got.sum(), want.sum())
