@@ -111,9 +111,14 @@ def clean_mesh(verts: np.ndarray, faces: np.ndarray) -> Tuple[np.ndarray, np.nda
     `script4color.mlx`)."""
     if len(faces) == 0:
         return verts, faces
-    # duplicate faces (any vertex order)
-    key = np.sort(faces, axis=1)
-    _, first = np.unique(key, axis=0, return_index=True)
+    # duplicate faces (any vertex order); packed 1-D key when ids fit
+    # 21 bits (np.unique axis=0 runs a structured sort)
+    key = np.sort(faces, axis=1).astype(np.int64)
+    if len(key) and int(key.max()) < (1 << 21):
+        packed = (key[:, 0] << 42) | (key[:, 1] << 21) | key[:, 2]
+        _, first = np.unique(packed, return_index=True)
+    else:
+        _, first = np.unique(key, axis=0, return_index=True)
     faces = faces[np.sort(first)]
     # zero-area
     a = verts[faces[:, 1]] - verts[faces[:, 0]]
@@ -126,8 +131,11 @@ def clean_mesh(verts: np.ndarray, faces: np.ndarray) -> Tuple[np.ndarray, np.nda
 def boundary_loops(faces: np.ndarray) -> list:
     """Boundary edge loops (edges used by exactly one face)."""
     e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
-    key = np.sort(e, axis=1)
-    uniq, inv, cnt = np.unique(key, axis=0, return_inverse=True,
+    key = np.sort(e, axis=1).astype(np.int64)
+    # packed 1-D key: np.unique(axis=0) runs a structured-void sort
+    # (~5 s at 1.7M edges); the scalar path is ~10x faster
+    packed = (key[:, 0] << 32) | key[:, 1]
+    uniq, inv, cnt = np.unique(packed, return_inverse=True,
                                return_counts=True)
     bnd_mask = cnt[inv] == 1
     bnd = e[bnd_mask]  # directed boundary edges
@@ -191,10 +199,11 @@ def laplacian_smooth(
         return verts
     v = verts.astype(np.float64).copy()
     nv = len(v)
-    # boundary vertices
+    # boundary vertices (packed 1-D edge key, see boundary_loops)
     e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
-    key = np.sort(e, axis=1)
-    uniq, inv, cnt = np.unique(key, axis=0, return_inverse=True,
+    key = np.sort(e, axis=1).astype(np.int64)
+    packed = (key[:, 0] << 32) | key[:, 1]
+    uniq, inv, cnt = np.unique(packed, return_inverse=True,
                                return_counts=True)
     bnd_v = np.unique(e[cnt[inv] == 1])
     is_bnd = np.zeros(nv, bool)
