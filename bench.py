@@ -227,13 +227,17 @@ def measure_kernels(chip):
     vj = jnp.asarray(valid)
     out = {}
 
-    # 1. NCC cost-volume sweep: fixed 64-shift span (uniform bounds so
-    # the analytic shift count is exact).  The fori_loop body perturbs
-    # the left image by the previous disparity's [0,0] so iterations
-    # chain (nothing hoists/elides).
+    # 1. NCC cost-volume sweep: fixed 64-shift span (disparity 0..63
+    # per pixel — bounds are ABSOLUTE target columns, so they must track
+    # x; r3 originally passed [0, 63] for every pixel, which makes the
+    # sweep cover s in [-(W-1), 63] = 1343 shifts and invalidated the
+    # 64-shift cost model).  The fori_loop body perturbs the left image
+    # by the previous disparity's [0,0] so iterations chain (nothing
+    # hoists/elides).
     nsh = 64
-    lo = jnp.zeros((H, W), jnp.int32)
-    hi = jnp.full((H, W), nsh - 1, jnp.int32)
+    xg = jnp.arange(W, dtype=jnp.int32)[None, :]
+    lo = jnp.broadcast_to(xg, (H, W))
+    hi = jnp.minimum(lo + nsh - 1, W - 1)
 
     def make_sweep_loop(n):
         @jax.jit

@@ -95,3 +95,36 @@ def test_resolve_recenter_auto():
     assert resolve_recenter(120, 30) == 30
     # pallas chunking uses its own T
     assert resolve_recenter(24, -1, t=6) == 12
+
+
+def test_ncc_sweep_pallas_matches_xla(rng):
+    """Fused-sweep Pallas kernel == XLA sweep: disparity argmax exactly
+    (same ascending-shift strict-> tie-break), scores to fp tolerance;
+    mixed positive/negative shifts, partial masks, grayscale + color."""
+    from reconstruction_tpu.ops.ncc_sweep_pallas import ncc_sweep_match_pallas
+    from reconstruction_tpu.stereo.matching import ncc_sweep_match
+
+    H, W = 37, 48
+    for channels in (3, 1):
+        shape = (H, W, channels) if channels == 3 else (H, W)
+        imgL = rng.uniform(0, 255, shape).astype(np.float32)
+        imgR = rng.uniform(0, 255, shape).astype(np.float32)
+        validR = rng.uniform(size=(H, W)) > 0.1
+        active = rng.uniform(size=(H, W)) > 0.2
+        x = np.arange(W)[None, :]
+        lo = np.clip(x + rng.integers(-9, 0, (H, W)), 0, W - 1)
+        hi = np.clip(lo + rng.integers(0, 14, (H, W)), 0, W - 1)
+        ref = ncc_sweep_match(jnp.asarray(imgL), jnp.asarray(imgR),
+                              jnp.asarray(validR), jnp.asarray(active),
+                              jnp.asarray(lo.astype(np.int32)),
+                              jnp.asarray(hi.astype(np.int32)), 2)
+        out = ncc_sweep_match_pallas(
+            jnp.asarray(imgL), jnp.asarray(imgR), jnp.asarray(validR),
+            jnp.asarray(active), jnp.asarray(lo.astype(np.int32)),
+            jnp.asarray(hi.astype(np.int32)), 2, pad_shift=48, block=8,
+            interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref.disparity),
+                                      np.asarray(out.disparity))
+        sc = np.isclose(np.asarray(ref.score), np.asarray(out.score),
+                        atol=1e-4)
+        assert sc.mean() > 0.999
