@@ -478,22 +478,34 @@ def run_phase(phase):
     print(f"[bench] device: {kind} (peaks table: {chip}), phase={phase}",
           file=sys.stderr, flush=True)
 
-    if phase == "kernels":
-        res = {"kernels": measure_kernels(chip)}
-    elif phase == "stereo":
-        res = run_stereo_only(reps)
-    elif phase == "full":
-        res = run_full(npairs, reps)
-    else:
-        raise SystemExit(f"unknown phase {phase!r}")
-    res["chip"] = kind
+    def write(name, res):
+        res["chip"] = kind
+        os.makedirs(OUT_DIR, exist_ok=True)
+        path = os.path.join(OUT_DIR, f"phase_{name}.json")
+        with open(path, "w") as f:
+            json.dump(res, f)
+        print(f"[bench] phase {name} -> {path}", file=sys.stderr,
+              flush=True)
+        return res
 
-    os.makedirs(OUT_DIR, exist_ok=True)
-    path = os.path.join(OUT_DIR, f"phase_{phase}.json")
-    with open(path, "w") as f:
-        json.dump(res, f)
-    print(f"[bench] phase {phase} -> {path}", file=sys.stderr, flush=True)
-    return res
+    if phase == "kernels":
+        return write("kernels", {"kernels": measure_kernels(chip)})
+    if phase == "stereo":
+        return write("stereo", run_stereo_only(reps))
+    if phase == "full":
+        return write("full", run_full(npairs, reps))
+    if phase == "stereo_full":
+        # Both protocols in ONE process: the level programs miss the
+        # persistent compile cache across processes (pallas payload
+        # nondeterminism, BENCH_NOTES), so separate children recompiled
+        # level 3 twice (~6 min of cold wall).  The stereo JSON is
+        # written BEFORE the full pipeline runs, so a full-phase crash
+        # still leaves the matching number on disk.
+        reps_stereo = int(os.environ.get("RECON_BENCH_REPS", "3"))
+        out = write("stereo", run_stereo_only(reps_stereo))
+        out_full = write("full", run_full(npairs, reps))
+        return {"stereo": out, "full": out_full}
+    raise SystemExit(f"unknown phase {phase!r}")
 
 
 def orchestrate():
@@ -507,30 +519,43 @@ def orchestrate():
 
     mode = os.environ.get("RECON_BENCH_MODE", "full")
     phases = (["stereo"] if mode == "stereo"
-              else ["kernels", "stereo", "full"])
+              else ["kernels", "stereo_full"])
     if os.environ.get("RECON_BENCH_KERNELS", "1") == "0" and "kernels" in phases:
         phases.remove("kernels")
+    # one child can produce several phase files (stereo_full writes the
+    # stereo record BEFORE running the riskier full pipeline)
+    produces = {"kernels": ["kernels"], "stereo": ["stereo"],
+                "full": ["full"], "stereo_full": ["stereo", "full"]}
 
     os.makedirs(OUT_DIR, exist_ok=True)
     results, attempts = {}, {}
     for phase in phases:
-        path = os.path.join(OUT_DIR, f"phase_{phase}.json")
-        if os.path.exists(path):
-            os.remove(path)
+        outs = produces[phase]
+        for name in outs:
+            path = os.path.join(OUT_DIR, f"phase_{name}.json")
+            if os.path.exists(path):
+                os.remove(path)
         for attempt in (1, 2):
             env = dict(os.environ, RECON_BENCH_PHASE=phase)
             t0 = time.perf_counter()
             rc = subprocess.call([sys.executable, os.path.abspath(__file__)],
                                  env=env)
             dt = time.perf_counter() - t0
-            attempts[phase] = attempt
-            if os.path.exists(path):
-                with open(path) as f:
-                    results[phase] = json.load(f)
-                results[phase]["wall_s"] = round(dt, 1)
+            for name in outs:
+                attempts[name] = attempt
+            done = True
+            for name in outs:
+                path = os.path.join(OUT_DIR, f"phase_{name}.json")
+                if os.path.exists(path):
+                    with open(path) as f:
+                        results[name] = json.load(f)
+                    results[name]["wall_s"] = round(dt, 1)
+                else:
+                    done = False
+            if done:
                 break
-            print(f"[bench] phase {phase} attempt {attempt} FAILED rc={rc} "
-                  f"after {dt:.0f}s", file=sys.stderr, flush=True)
+            print(f"[bench] phase {phase} attempt {attempt} incomplete "
+                  f"rc={rc} after {dt:.0f}s", file=sys.stderr, flush=True)
     return results, attempts
 
 
