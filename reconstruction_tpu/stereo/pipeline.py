@@ -251,20 +251,22 @@ def match_pair(
     m0 = find_margin(v0, cfg.stereo.block_radius)
     m1 = find_margin(valid_mask(mpyr1[finest]), cfg.stereo.block_radius)
     scale = cfg.lowest_level_size[0] / origin_size[0] * (1 << finest)
-    cloud = disparity_to_cloud(
-        state.disp0, mpyr0[finest], quantize_u8(pyr0[finest]),
-        rect.Q, rect.R_final, rect.T_final, m0, scale,
-        erode_frac=cfg.stereo.cloud_erode_frac,
-    )
+
     # ONE packed device->host transfer for everything the host needs
     # (each separate fetch pays ~0.5 s fixed relay latency).  The eroded
     # masks only gate dedup's buckets, so they stay on device unless the
-    # isdelete path is enabled.
+    # isdelete path is enabled.  On the native backend the pair CLOUD is
+    # triangulated on HOST from the fetched disparity + finest mask (the
+    # colors ARE the already-host rectified image), saving the 35 MB
+    # xyz/colors fetch that dominated the overlapped filter thread.
     from reconstruction_tpu.utils.transfer import fetch_packed
     to_u8 = lambda a: jnp.clip(a, 0, 255).astype(jnp.uint8)
     fetch = [state.disp0, jnp.asarray(drifts, jnp.float32)]
     if cfg.cloud.dedup:
         fetch += [to_u8(masks[0]), to_u8(masks[1])]
+    if use_native:
+        fetch += [to_u8(mpyr0[finest]),
+                  jnp.stack([m0.YL, m0.YR, m0.XL, m0.XR])]
     if host_imgs:
         im0_h, im1_h = host_imgs
         rm0_h, rm1_h = host_raw_masks
@@ -279,8 +281,23 @@ def match_pair(
     if cfg.cloud.dedup:
         em0_h, em1_h = out[pos:pos + 2]
         pos += 2
+    if use_native:
+        fmask_h, margins_h = out[pos:pos + 2]
+        pos += 2
     if not host_imgs:
         im0_h, im1_h, rm0_h, rm1_h = out[pos:pos + 4]
+
+    if use_native:
+        from reconstruction_tpu.stereo.triangulate import disparity_to_cloud_np
+        cloud = disparity_to_cloud_np(
+            disp_h, fmask_h, im0_h, rect.Q, rect.R_final, rect.T_final,
+            margins_h, scale, erode_frac=cfg.stereo.cloud_erode_frac)
+    else:
+        cloud = disparity_to_cloud(
+            state.disp0, mpyr0[finest], quantize_u8(pyr0[finest]),
+            rect.Q, rect.R_final, rect.T_final, m0, scale,
+            erode_frac=cfg.stereo.cloud_erode_frac,
+        )
 
     return PairResult(
         disparity=disp_h,

@@ -91,3 +91,58 @@ def disparity_to_cloud(
         colors=colors.reshape(-1, 3),
         valid=ok.reshape(-1),
     )
+
+
+def disparity_to_cloud_np(
+    disp: np.ndarray,
+    mask_u8: np.ndarray,
+    image_u8: np.ndarray,
+    Q: np.ndarray,
+    R_final: np.ndarray,
+    T_final: np.ndarray,
+    margins: np.ndarray,
+    scale: float,
+    erode_frac: float = 0.02,
+) -> PointCloud:
+    """Host twin of disparity_to_cloud (same f32 math, same ellipse
+    erosion via scipy border_value=1 == the device conv's outside-is-
+    valid padding).  Used on the native backend so the pair cloud never
+    has to round-trip the relay: disparity, the finest mask and the
+    rectified image are already host-resident after the packed fetch.
+
+    margins: (4,) int array (YL, YR, XL, XR) — the fetched Margins in
+    field order.
+    """
+    from reconstruction_tpu.core.morphology import ellipse_kernel
+
+    H, W = disp.shape
+    erode_size = int(np.ceil(erode_frac * H))
+    valid = np.asarray(mask_u8, np.float32) >= 254.5
+    if erode_size > 1:
+        from scipy.ndimage import binary_erosion
+        se = ellipse_kernel(erode_size, erode_size) > 0
+        valid = binary_erosion(valid, structure=se, border_value=1)
+    YL, YR, XL, XR = (int(v) for v in margins)
+    y = np.arange(H, dtype=np.float32)[:, None]
+    x = np.arange(W, dtype=np.float32)[None, :]
+    inner = ((y >= YL) & (y <= YR) & (x >= XL) & (x <= XR))
+    disp = np.asarray(disp, np.float32)
+    ok = valid & (disp != NOMATCH) & inner
+
+    Qs = np.asarray(Q, np.float32).copy()
+    Qs[:, 3] *= np.float32(scale)
+    q03, q13, q23 = Qs[0, 3], Qs[1, 3], Qs[2, 3]
+    q32, q33 = Qs[3, 2], Qs[3, 3]
+    iW = np.float32(1.0) / (q33 + q32 * disp)
+    X = (q03 + x.astype(np.float32)) * iW
+    Y = (y.astype(np.float32) + q13) * iW
+    Z = (q23 * iW) * np.ones_like(X)
+    F = np.stack([X, Y, Z], axis=-1).astype(np.float32)
+    world = F @ np.asarray(R_final, np.float32).T
+    world = world + np.asarray(T_final, np.float32)
+
+    return PointCloud(
+        xyz=world.reshape(-1, 3),
+        colors=np.ascontiguousarray(image_u8).reshape(-1, 3),
+        valid=ok.reshape(-1),
+    )

@@ -181,3 +181,38 @@ def test_laplacian_native_matches_numpy(rng):
     finally:
         nat.laplacian_cotan = orig
     np.testing.assert_allclose(v_nat, v_np, atol=1e-9)
+
+
+def test_host_triangulation_matches_device(rng):
+    """disparity_to_cloud_np == the jitted disparity_to_cloud (same f32
+    math, same ellipse erosion semantics) — the native backend
+    triangulates on host so the pair cloud never rides the relay."""
+    from reconstruction_tpu.stereo.triangulate import (disparity_to_cloud,
+                                                       disparity_to_cloud_np)
+    from reconstruction_tpu.stereo.margins import Margins
+    from reconstruction_tpu.config import NOMATCH
+
+    H, W = 60, 80
+    disp = rng.uniform(-10, 40, (H, W)).astype(np.float32)
+    disp[rng.uniform(size=(H, W)) < 0.2] = NOMATCH
+    mask = (rng.uniform(size=(H, W)) > 0.15).astype(np.float32) * 255
+    img = rng.integers(0, 255, (H, W, 3)).astype(np.float32)
+    Q = np.array([[1, 0, 0, -40.0], [0, 1, 0, -30.0],
+                  [0, 0, 0, 100.0], [0, 0, -0.5, 2.0]])
+    R = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+    T = rng.normal(size=3)
+    m = Margins(YL=jnp.int32(3), YR=jnp.int32(H - 4),
+                XL=jnp.int32(2), XR=jnp.int32(W - 3))
+
+    dev = disparity_to_cloud(jnp.asarray(disp), jnp.asarray(mask),
+                             jnp.asarray(img), Q, R, T, m, 0.5,
+                             erode_frac=0.02)
+    host = disparity_to_cloud_np(disp, mask, np.clip(img, 0, 255)
+                                 .astype(np.uint8), Q, R, T,
+                                 np.array([3, H - 4, 2, W - 3]), 0.5,
+                                 erode_frac=0.02)
+    np.testing.assert_array_equal(np.asarray(dev.valid), host.valid)
+    np.testing.assert_array_equal(np.asarray(dev.colors), host.colors)
+    v = host.valid
+    np.testing.assert_allclose(np.asarray(dev.xyz)[v], host.xyz[v],
+                               rtol=2e-5, atol=2e-5)
