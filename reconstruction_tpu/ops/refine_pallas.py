@@ -115,8 +115,8 @@ def disparity_refine_pallas(
     ws: float = 0.03,
     s_cap: int = 128,
     band: int = 64,
-    T: int = 10,
-    block: int = 16,
+    T: int = 6,
+    block: int = 24,
     interpret: bool = False,
     recenter_every: int = 0,
 ) -> jnp.ndarray:
@@ -124,11 +124,14 @@ def disparity_refine_pallas(
     (bit-equal to its default mini-CV path).
 
     Requires iterations % T == 0 (the reference budgets 30+30*level,
-    all divisible by the default T=10); falls back to the XLA path
+    all divisible by the default T=6; an r3 on-chip A/B measured
+    (T=6, block=24) 14% faster than (T=10, block=16) at 1920x1280,
+    exactly equal — tools/tune_refine_block.py); falls back to the XLA path
     otherwise, as does a recenter_every not aligned to T (the auto
-    value from resolve_recenter always is).  block=16 keeps the
-    (MINI, block+2T, W) window slab within scoped VMEM (16 MB incl.
-    pipeline double-buffering) at W=1280.
+    value from resolve_recenter always is).  block=24 with T=6 keeps
+    the (MINI, block+2T, W) window slab within scoped VMEM (16 MB incl.
+    pipeline double-buffering) at W=1280 — (T=10, block=24) exceeds it
+    by 204 KB.
 
     recenter_every=k re-extracts the per-pixel window from the banded
     volume at the current anchors every k sweeps (k a multiple of T),

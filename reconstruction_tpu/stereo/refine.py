@@ -128,12 +128,12 @@ def _banded_cost_volume(
 
 
 def resolve_recenter(iterations: int, recenter_every: int,
-                     t: int = 10) -> int:
+                     t: int = 6) -> int:
     """Resolve the recenter_every knob: -1 (auto) = ONE mid-run window
     re-extraction, rounded up to a multiple of ``t`` so the Pallas
-    T-segment path (ops/refine_pallas.py, T=10) chunks identically to
-    the XLA scan path and stays bit-equal; 0 = never recenter; k > 0 =
-    every k sweeps.  One re-extraction (the gather-free binshift) costs
+    T-segment path (ops/refine_pallas.py, default T=6) chunks
+    identically to the XLA scan path and stays bit-equal; 0 = never
+    recenter; k > 0 = every k sweeps.  One re-extraction (the gather-free binshift) costs
     ~0.24 s at 1920x1280 — affordable once per run, while k=10 at
     level-3 iteration counts would triple the refine stage."""
     if recenter_every == -1:

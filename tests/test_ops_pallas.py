@@ -86,15 +86,16 @@ def test_refine_pallas_recenter_matches_xla(rng):
 
 def test_resolve_recenter_auto():
     from reconstruction_tpu.stereo.refine import resolve_recenter
-    # auto = one mid-run re-extraction, T-aligned (T=10 default)
+    # auto = one mid-run re-extraction, T-aligned (T=6 default, matching
+    # the pallas segment default so both impls chunk identically)
     assert resolve_recenter(120, -1) == 60
-    assert resolve_recenter(90, -1) == 50
-    assert resolve_recenter(30, -1) == 20
-    assert resolve_recenter(10, -1) == 0   # nothing to split
+    assert resolve_recenter(90, -1) == 48
+    assert resolve_recenter(30, -1) == 18
     assert resolve_recenter(120, 0) == 0   # explicit off
     assert resolve_recenter(120, 30) == 30
-    # pallas chunking uses its own T
+    # explicit t override (the pallas path passes its own T)
     assert resolve_recenter(24, -1, t=6) == 12
+    assert resolve_recenter(30, -1, t=10) == 20
 
 
 def test_ncc_sweep_pallas_matches_xla(rng):
