@@ -254,17 +254,24 @@ def measure_kernels(chip):
     out["ncc_sweep"] = dict(seconds=round(t, 4), **_round(
         c.utilization(t, chip)))
 
-    # 2. Subpixel refine, 30 sweeps at the finest shape (the production
-    # implementation the pipeline selects on this backend).  Chained by
-    # feeding each refine's output disparity into the next call.
+    # 2. Subpixel refine, 30 sweeps at the finest shape — the SAME
+    # implementation the pipeline selects on this backend (the Pallas
+    # temporally-blocked kernel on TPU, the XLA mini-CV path elsewhere).
+    # Chained by feeding each refine's output into the next call.
     disp0 = jnp.asarray(np.where(valid, 40.0, NOMATCH).astype(np.float32))
+    on_tpu = "tpu" in jax.devices()[0].platform.lower()
+    if on_tpu:
+        from reconstruction_tpu.ops.refine_pallas import disparity_refine_pallas
+        refine_fn = disparity_refine_pallas
+    else:
+        refine_fn = disparity_refine
 
     def make_refine_loop(n):
         @jax.jit
         def fn():
             def body(i, d):
-                return disparity_refine(d, imgLj, imgRj, m,
-                                        iterations=30, ws=0.03)
+                return refine_fn(d, imgLj, imgRj, m,
+                                 iterations=30, ws=0.03)
             return jax.lax.fori_loop(0, n, body, disp0)[0, 0]
         return fn
 
