@@ -104,16 +104,19 @@ Grid build_grid(const float* pts, const uint8_t* valid, long n, float cell) {
     return g;
 }
 
-// Visit all points within the 27-cell neighborhood of p.
+// Visit all points within the (2*reach+1)^3-cell neighborhood of p.
+// reach = ceil(radius / cell): finer cells than the radius scan a
+// tighter superset of the search ball — cell = radius/2 (reach 2)
+// sweeps (2.5r)^3 of space instead of (3r)^3, ~30% fewer candidates.
 template <typename F>
 inline void for_neighbors(const Grid& g, const float* pts, float px,
-                          float py, float pz, F&& f) {
+                          float py, float pz, int reach, F&& f) {
     int cx = clampi((int)((px - g.ox) / g.cell), 0, g.dx - 1);
     int cy = clampi((int)((py - g.oy) / g.cell), 0, g.dy - 1);
     int cz = clampi((int)((pz - g.oz) / g.cell), 0, g.dz - 1);
-    for (int ax = std::max(cx - 1, 0); ax <= std::min(cx + 1, g.dx - 1); ++ax)
-        for (int ay = std::max(cy - 1, 0); ay <= std::min(cy + 1, g.dy - 1); ++ay)
-            for (int az = std::max(cz - 1, 0); az <= std::min(cz + 1, g.dz - 1); ++az) {
+    for (int ax = std::max(cx - reach, 0); ax <= std::min(cx + reach, g.dx - 1); ++ax)
+        for (int ay = std::max(cy - reach, 0); ay <= std::min(cy + reach, g.dy - 1); ++ay)
+            for (int az = std::max(cz - reach, 0); az <= std::min(cz + reach, g.dz - 1); ++az) {
                 long c = ((long)ax * g.dy + ay) * g.dz + az;
                 for (int s = g.start[c]; s < g.start[c + 1]; ++s) {
                     int j = g.order[s];
@@ -179,7 +182,10 @@ extern "C" {
 // truncated-neighborhood correction.  Outputs mean_d (n) and has (n).
 void cloud_sor_stats(const float* pts, const uint8_t* valid, long n,
                      float cell, int k, float* mean_d, uint8_t* has) {
+    // SOR's cell is already ~6x the point spacing; finer sub-cells
+    // measured SLOWER here (cell-loop overhead), unlike normals/MLS.
     Grid g = build_grid(pts, valid, n, cell);
+    const int reach = (int)std::ceil(cell / g.cell);
     const float r2 = cell * cell;
 #pragma omp parallel
     {
@@ -192,7 +198,7 @@ void cloud_sor_stats(const float* pts, const uint8_t* valid, long n,
             if (!valid[i]) continue;
             d2s.clear();
             for_neighbors(g, pts, pts[3 * i], pts[3 * i + 1], pts[3 * i + 2],
-                          [&](int j, float d2) {
+                          reach, [&](int j, float d2) {
                               if (j != (int)i && d2 <= r2) d2s.push_back(d2);
                           });
             if (d2s.empty()) continue;
@@ -211,7 +217,8 @@ void cloud_sor_stats(const float* pts, const uint8_t* valid, long n,
 // safe — offsets are O(radius)), cov = E[xx^T] - mu mu^T.
 void cloud_normals(const float* pts, const uint8_t* valid, long n,
                    float radius, const float* viewpoint, float* normals) {
-    Grid g = build_grid(pts, valid, n, radius);
+    Grid g = build_grid(pts, valid, n, radius * 0.5f);
+    const int reach = (int)std::ceil(radius / g.cell);
     const float r2 = radius * radius;
 #pragma omp parallel for schedule(dynamic, 512)
     for (long i = 0; i < n; ++i) {
@@ -219,7 +226,7 @@ void cloud_normals(const float* pts, const uint8_t* valid, long n,
         float px = pts[3 * i], py = pts[3 * i + 1], pz = pts[3 * i + 2];
         double m1[3] = {0, 0, 0}, m2[6] = {0, 0, 0, 0, 0, 0};
         long cnt = 0;
-        for_neighbors(g, pts, px, py, pz, [&](int j, float d2) {
+        for_neighbors(g, pts, px, py, pz, reach, [&](int j, float d2) {
             if (d2 > r2) return;
             double dx = pts[3 * j] - px, dy = pts[3 * j + 1] - py,
                    dz = pts[3 * j + 2] - pz;
@@ -248,7 +255,8 @@ void cloud_normals(const float* pts, const uint8_t* valid, long n,
 void cloud_mls(const float* pts, const uint8_t* valid, long n,
                float radius, const float* prev_normals,
                float* out_pts, float* out_normals, uint8_t* ok) {
-    Grid g = build_grid(pts, valid, n, radius);
+    Grid g = build_grid(pts, valid, n, radius * 0.5f);
+    const int reach = (int)std::ceil(radius / g.cell);
     const float r2 = radius * radius;
     const double inv_r2 = 1.0 / ((double)radius * radius);
 #pragma omp parallel for schedule(dynamic, 512)
@@ -262,7 +270,7 @@ void cloud_mls(const float* pts, const uint8_t* valid, long n,
         // Single pass: weighted raw moments about the query point
         // (offsets are O(radius) so E[xx^T] - mu mu^T is stable here).
         double wsum = 0, m1[3] = {0, 0, 0}, m2[6] = {0, 0, 0, 0, 0, 0};
-        for_neighbors(g, pts, px, py, pz, [&](int j, float d2) {
+        for_neighbors(g, pts, px, py, pz, reach, [&](int j, float d2) {
             if (d2 > r2) return;
             double w = std::exp(-(double)d2 * inv_r2);
             double dx = pts[3 * j] - px, dy = pts[3 * j + 1] - py,
