@@ -62,7 +62,9 @@ class StereoParams:
     cloud_erode_frac: float = 0.02
     # Refinement implementation: "auto" (pallas on TPU, xla elsewhere),
     # "xla" (mini-CV select path) or "pallas" (temporally-blocked VMEM
-    # kernel, ops/refine_pallas.py; 0.147 s vs 0.235 s at 1920x1280).
+    # kernel, ops/refine_pallas.py — reads the cost window once per
+    # T-sweep segment instead of every sweep; r3 fetch-fenced numbers
+    # in BENCH_NOTES, r1's 0.147/0.235 predate the honest fence).
     refine_impl: str = "auto"
     # Window re-centering cadence for the refine drift budget: -1 = auto
     # (ONE mid-run re-extraction — raises the usable drift budget from
