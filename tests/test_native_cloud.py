@@ -216,3 +216,47 @@ def test_host_triangulation_matches_device(rng):
     v = host.valid
     np.testing.assert_allclose(np.asarray(dev.xyz)[v], host.xyz[v],
                                rtol=2e-5, atol=2e-5)
+
+
+def test_match_pair_native_matches_jax(rng, monkeypatch):
+    """The production native-backend pair path (host remap, packed
+    fetch, host triangulation) must agree with the all-device path:
+    identical disparity (same device level programs), identical cloud
+    validity and colors, xyz to f32 tolerance, rectified images to the
+    uint8 grid."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from synthetic import make_stereo_scene
+    from reconstruction_tpu.config import preset
+    from reconstruction_tpu.stereo.pipeline import match_pair
+
+    cfg = preset("tiny").replace(pyramid_levels=2,
+                                 lowest_level_size=(80, 60),
+                                 cam_pairs=((0, 1),))
+    cams, imgs, masks = make_stereo_scene(image_size=(160, 120),
+                                          span_deg=24.0, num_cameras=2)
+    args = (cfg, imgs[0], imgs[1], masks[0], masks[1],
+            np.asarray(cams[0].K), np.asarray(cams[0].Rt),
+            np.asarray(cams[1].K), np.asarray(cams[1].Rt))
+
+    monkeypatch.setenv("RECON_CLOUD_BACKEND", "jax")
+    res_jax = match_pair(*args)
+    monkeypatch.setenv("RECON_CLOUD_BACKEND", "native")
+    res_nat = match_pair(*args)
+
+    np.testing.assert_array_equal(res_jax.disparity, res_nat.disparity)
+    np.testing.assert_array_equal(np.asarray(res_jax.cloud.valid),
+                                  np.asarray(res_nat.cloud.valid))
+    np.testing.assert_array_equal(np.asarray(res_jax.cloud.colors),
+                                  np.asarray(res_nat.cloud.colors))
+    v = np.asarray(res_jax.cloud.valid)
+    np.testing.assert_allclose(np.asarray(res_jax.cloud.xyz)[v],
+                               np.asarray(res_nat.cloud.xyz)[v],
+                               rtol=2e-5, atol=2e-5)
+    for side in (0, 1):
+        # host remap vs device remap, both on the uint8 grid
+        a = res_jax.rect_images[side].astype(np.int32)
+        b = res_nat.rect_images[side].astype(np.int32)
+        assert (np.abs(a - b) <= 1).mean() > 0.999  # rounding ties
+        np.testing.assert_array_equal(res_jax.rect_masks[side],
+                                      res_nat.rect_masks[side])
