@@ -260,3 +260,21 @@ def test_match_pair_native_matches_jax(rng, monkeypatch):
         assert (np.abs(a - b) <= 1).mean() > 0.999  # rounding ties
         np.testing.assert_array_equal(res_jax.rect_masks[side],
                                       res_nat.rect_masks[side])
+
+
+def test_sor_gate_np_matches_jax(rng):
+    """_sor_gate_np is the numpy twin of the jitted _sor_gate (same
+    imputation for zero-neighbor points, same mu/sigma formula)."""
+    from reconstruction_tpu.cloud.filters import _sor_gate, _sor_gate_np
+    n = 5000
+    mean_d = rng.gamma(2.0, 0.01, n).astype(np.float32)
+    has = rng.uniform(size=n) > 0.05
+    valid = rng.uniform(size=n) > 0.1
+    cell, thresh = 0.05, 1.0
+    a = np.asarray(_sor_gate(jnp.asarray(mean_d), jnp.asarray(has),
+                             jnp.asarray(valid), jnp.float32(cell),
+                             jnp.float32(thresh)))
+    b = _sor_gate_np(mean_d, has, valid, cell, thresh)
+    # f32-vs-f64 accumulation can flip points sitting exactly on the
+    # gate; the populations must agree essentially everywhere
+    assert (a == b).mean() > 0.999, (a != b).sum()
