@@ -23,11 +23,25 @@ import os
 
 
 def resolve_backend(backend: str = "auto") -> str:
+    if backend == "auto":
+        env = os.environ.get("RECON_CLOUD_BACKEND")
+        if env in ("jax", "native"):
+            backend = env
+    if backend == "native":
+        # An explicit "native" request (config or env) must not crash the
+        # cloud stages with an opaque None-unpack when the library is
+        # missing/stale (advisor r3): fall back to jax with a warning.
+        from reconstruction_tpu import native
+        if not native.available():
+            from reconstruction_tpu.utils.logging import get_logger
+            get_logger(__name__).warning(
+                "cloud backend 'native' requested but librecon_native.so "
+                "is unavailable; falling back to 'jax' "
+                "(build with `make -C reconstruction_tpu/native`)")
+            return "jax"
+        return "native"
     if backend != "auto":
         return backend
-    env = os.environ.get("RECON_CLOUD_BACKEND")
-    if env in ("jax", "native"):
-        return env
     from reconstruction_tpu import native
     if not native.available():
         return "jax"

@@ -190,10 +190,17 @@ def radius_outlier_filter(
     min_neighbors: int = 50,
     per_cell: int = 16,
     chunk: int = 4096,
+    host_points: np.ndarray | None = None,
+    host_valid: np.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Drop points with fewer than min_neighbors within radius."""
-    pts_np = np.asarray(points, np.float32)
-    v_np = np.asarray(valid).astype(bool)
+    """Drop points with fewer than min_neighbors within radius
+    (`RadiusOutlierRemoval`, kept commented out in the reference at
+    `CCloudOptimization.cpp:90-96`; enabled via
+    cfg.cloud.use_radius_outlier_removal)."""
+    pts_np = (np.asarray(points, np.float32) if host_points is None
+              else host_points)
+    v_np = (np.asarray(valid).astype(bool) if host_valid is None
+            else host_valid)
     origin, dims, cell = host_grid_geometry(pts_np, v_np, radius)
     grid = build_dense_grid(points, valid, origin, cell, dims,
                             pad=per_cell)
@@ -201,3 +208,24 @@ def radius_outlier_filter(
         grid, points, valid, radius, _count_fn, dims,
         per_cell=per_cell, chunk=chunk, exclude_self=True)
     return valid & (counts >= min_neighbors)
+
+
+def radius_outlier_filter_np(
+    points: np.ndarray,
+    valid: np.ndarray,
+    radius: float,
+    min_neighbors: int = 50,
+) -> np.ndarray:
+    """Host (exact) twin of radius_outlier_filter for the native cloud
+    backend: KD-tree neighbor counts, zero device traffic."""
+    from scipy.spatial import cKDTree
+    out = np.zeros(len(points), bool)
+    sel = np.flatnonzero(valid)
+    if len(sel) == 0:
+        return out
+    pts = np.asarray(points, np.float64)[sel]
+    tree = cKDTree(pts)
+    counts = tree.query_ball_point(pts, r=float(radius),
+                                   return_length=True, workers=-1)
+    out[sel] = (counts - 1) >= min_neighbors  # exclude self
+    return out

@@ -87,9 +87,10 @@ class CloudParams:
     outrem_radius: float = 2.0
     use_radius_outlier_removal: bool = False
     # Normal-estimation / MLS search radius (`CCloudOptimization.cpp:106,358`).
+    # The MLS polynomial order is NOT a knob: the reference hard-codes
+    # order 1 (`CCloudOptimization.cpp:360`) and cloud/mls.py implements
+    # exactly that (order-1 fit == plane projection).
     mls_radius: float = 2.5
-    # MLS polynomial order (`CCloudOptimization.cpp:360`).
-    mls_poly_order: int = 1
     # Cross-view dedup enabled (`isdelete`, `CReconstruction.cpp:18` false).
     dedup: bool = False
     # Cloud-stage backend: "jax" (device voxel-grid reduces), "native"

@@ -223,6 +223,7 @@ void cloud_normals(const float* pts, const uint8_t* valid, long n,
 #pragma omp parallel for schedule(dynamic, 512)
     for (long i = 0; i < n; ++i) {
         float* out = normals + 3 * i;
+        if (!valid[i]) { out[0] = 0; out[1] = 0; out[2] = 1; continue; }
         float px = pts[3 * i], py = pts[3 * i + 1], pz = pts[3 * i + 2];
         double m1[3] = {0, 0, 0}, m2[6] = {0, 0, 0, 0, 0, 0};
         long cnt = 0;

@@ -157,8 +157,34 @@ def reconstruct(
                           std_thresh=cfg.cloud.sor_std_thresh,
                           host_points=host_xyz, host_valid=host_valid,
                           backend=cfg.cloud.backend)
-        # normals + flip toward the pair camera (`:101-121`)
-        center = jnp.asarray(res.rectification.T_final, jnp.float32)
+        # Optional radius outlier removal (commented out in the
+        # reference, `CCloudOptimization.cpp:90-96`; kept as a config
+        # stage in the same SOR -> outrem order).
+        if cfg.cloud.use_radius_outlier_removal:
+            if resolve_backend(cfg.cloud.backend) == "native":
+                from reconstruction_tpu.cloud.filters import (
+                    radius_outlier_filter_np)
+                keep = radius_outlier_filter_np(
+                    host_xyz, np.asarray(keep),
+                    radius=cfg.cloud.outrem_radius,
+                    min_neighbors=cfg.cloud.outrem_neighbors)
+            else:
+                from reconstruction_tpu.cloud.filters import (
+                    radius_outlier_filter)
+                keep = radius_outlier_filter(
+                    cloud.xyz, keep,
+                    radius=cfg.cloud.outrem_radius,
+                    min_neighbors=cfg.cloud.outrem_neighbors,
+                    host_points=host_xyz,
+                    host_valid=host_valid)
+        # normals + flip toward the pair camera (`:101-121`).  On the
+        # native backend the viewpoint stays a host array — a device
+        # jnp.asarray here cost a ~0.5 s relay upload+fetch per pair
+        # inside the zero-device-traffic filter thread (advisor r3).
+        if resolve_backend(cfg.cloud.backend) == "native":
+            center = np.asarray(res.rectification.T_final, np.float32)
+        else:
+            center = jnp.asarray(res.rectification.T_final, jnp.float32)
         nrm_j = estimate_normals(cloud.xyz, keep,
                                  radius=cfg.cloud.mls_radius,
                                  viewpoint=center,

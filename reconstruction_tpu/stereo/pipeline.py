@@ -128,7 +128,12 @@ def match_one_level(
         when the BULK of pixels drift."""
         ok = (pre != NOMATCH) & (post != NOMATCH)
         mag = jnp.where(ok, jnp.abs(post - pre), 0.0)
-        return jnp.percentile(mag, 99.0)
+        # p99 over VALID pixels only (advisor r3): invalid entries sit at
+        # 0.0, so the valid p99 is the all-pixel percentile at rank
+        # 100 - 1*valid_fraction (drift magnitudes are >= 0, zeros sort
+        # below any positive drift).
+        frac = jnp.mean(ok.astype(jnp.float32))
+        return jnp.percentile(mag, 100.0 - frac)
 
     drift0, drift1 = drift(pre0, d0), drift(pre1, d1)
     d0, d1 = uniqueness_constraint(d0, d1, m0, m1)

@@ -79,14 +79,28 @@ def ncc_sweep_cost(H: int, W: int, C: int, radius: int,
                    num_shifts: int) -> KernelCost:
     """Cost of the uniform-shift NCC sweep (stereo/matching.py).
 
-    Per shift: C mults + C-1 adds for the channel product, 4r separable
-    box adds, ~8 elementwise score/compare ops per pixel; traffic is the
-    working-set streams (imgs + moment maps + state) once per shift.
+    FLOPs: per shift, C mults + C-1 adds for the channel product, 4r
+    separable box adds, ~8 elementwise score/compare ops per pixel.
+
+    Bytes: UNIQUE traffic of an ideally fused sweep — every operand
+    read once per sweep and the state written once, because a fused
+    (row-block-resident) kernel holds best-score/best-t and the shifted
+    windows in VMEM across all shifts.  The r3 model instead counted the
+    per-shift operand streams the XLA `fori_loop` formulation re-reads
+    each iteration, which (a) double-counts traffic XLA's fusion
+    provably avoids and (b) produced hbm_util > 1 (`BENCH_r03.json`
+    1.24).  With the unique-byte model utilization is <= 1 by
+    construction, and a LOW value is the honest signal that the
+    per-iteration loop formulation is paying avoidable re-reads that a
+    persistent-state Pallas sweep could skip.
+
+    Unique bytes/px: imgL + imgR (2*C*4), four moment maps (16),
+    validR f32 (4), active (1), two bound maps (8), state out (8).
     """
     per_px = (2 * C - 1) + 4 * radius + 10
     flops = float(H * W * per_px * num_shifts)
-    per_shift_bytes = H * W * 4.0 * (2 * C + 5)
-    return KernelCost(flops=flops, hbm_bytes=per_shift_bytes * num_shifts)
+    unique_bytes = H * W * (8.0 * C + 37.0)
+    return KernelCost(flops=flops, hbm_bytes=unique_bytes)
 
 
 def refine_cost(H: int, W: int, iterations: int, s_cap: int,

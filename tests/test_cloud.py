@@ -61,6 +61,27 @@ def test_sor_removes_outliers(rng):
     assert keep[4000:].mean() < 0.2
 
 
+def test_radius_outlier_filter_jax_vs_np_vs_brute(rng):
+    """Device and host radius-outlier twins match the brute-force count
+    gate (`RadiusOutlierRemoval`, `CCloudOptimization.cpp:90-96`)."""
+    from reconstruction_tpu.cloud.filters import (
+        radius_outlier_filter, radius_outlier_filter_np)
+    pts = rng.uniform(-1, 1, size=(600, 3)).astype(np.float32)
+    valid = np.ones(600, bool)
+    valid[::17] = False
+    radius, min_nb = 0.3, 8
+    D2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    inr = (D2 <= radius ** 2) & valid[None, :]
+    counts = inr.sum(1) - valid.astype(int)  # exclude self
+    want = valid & (counts >= min_nb)
+    got_np = radius_outlier_filter_np(pts, valid, radius, min_nb)
+    np.testing.assert_array_equal(got_np, want)
+    got_jax = np.asarray(radius_outlier_filter(
+        jnp.asarray(pts), jnp.asarray(valid), radius, min_nb,
+        per_cell=64, chunk=128))
+    np.testing.assert_array_equal(got_jax, want)
+
+
 def test_knn_stat_matches_bruteforce_mean(rng):
     """The histogram k-NN statistic (filters._knn_stat) tracks the exact
     brute-force mean-of-kNN distance within a few percent — a direct

@@ -119,6 +119,16 @@ def test_roofline_model():
     u = c.utilization(1.0, "v5e")
     assert u["gflops_per_s"] > 0
     assert u["bound"] in ("hbm", "flops")
+    # Unique-byte model: at the r3-measured on-chip time (6.8 ms for 64
+    # shifts at the bench shape) utilization must be <= 1 by
+    # construction (VERDICT r3 weak #5 — the old per-shift stream model
+    # reported 1.24).
+    c64 = ncc_sweep_cost(1920, 1280, 3, 2, 64)
+    u64 = c64.utilization(0.0068, "v5e")
+    assert u64["hbm_util"] <= 1.0, u64
+    # ...and stays <= 1 for ANY time above the ideal fused-sweep bound.
+    ideal_s = c64.hbm_bytes / 819e9
+    assert c64.utilization(ideal_s * 1.001, "v5e")["hbm_util"] <= 1.0
 
 
 def test_point_to_mesh_distance():
