@@ -89,6 +89,69 @@ def _huber_weight(r: jnp.ndarray, delta: float) -> jnp.ndarray:
     return jnp.minimum(1.0, delta / nrm)
 
 
+def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form batched 3x3 inverse (adjugate / det).
+
+    The r3 kernel used `jnp.linalg.inv` -> batched LU, which lowers to
+    loop-heavy code on TPU; the adjugate is ~50 fused elementwise ops
+    per matrix.  Inputs are the Tikhonov-regularized SPD point blocks,
+    so det > 0.
+    """
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    adj = jnp.stack([
+        jnp.stack([A11, A12, A13], -1),
+        jnp.stack([A21, A22, A23], -1),
+        jnp.stack([A31, A32, A33], -1),
+    ], -2)
+    X = adj / det[..., None, None]
+    # Two Newton refinements X <- X (2I - A X): each doubles the
+    # accurate digits, recovering LU-level f32 accuracy on the
+    # ill-conditioned depth direction of weak-baseline point blocks for
+    # ~4 batched 3x3 matmuls (tests regressed 3x in point recovery on
+    # the raw adjugate).
+    I2 = 2.0 * jnp.eye(3, dtype=A.dtype)
+    for _ in range(2):
+        X = X @ (I2 - A @ X)
+    return X
+
+
+def _solve3x3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched 3x3 solve via the closed-form inverse: (..., 3, 3) x
+    (..., 3) -> (..., 3)."""
+    return jnp.einsum("...ij,...j->...i", _inv3x3(A), b)
+
+
+def _gather_obs_params(problem: BAProblem, poses: jnp.ndarray,
+                       cam_flat: jnp.ndarray, C: int):
+    """Per-observation camera parameters via ONE-HOT MATMUL.
+
+    Per-element `K[cam]`/`Rt0[cam]`/`poses[cam]` gathers serialize on
+    TPU (the repo-wide minor-axis-gather rule); a (N, C) @ (C, 27)
+    matmul rides the MXU instead and is exact for one-hot rows.
+    Returns (oh (N, C), K (N,3,3), Rt0 (N,3,4), pose (N,6)).
+    """
+    oh = jax.nn.one_hot(cam_flat, C, dtype=poses.dtype)         # (N, C)
+    pack = jnp.concatenate([problem.K.reshape(C, 9),
+                            problem.Rt0.reshape(C, 12),
+                            poses], axis=1)                      # (C, 27)
+    obs = oh @ pack                                              # MXU
+    N = cam_flat.shape[0]
+    return (oh, obs[:, :9].reshape(N, 3, 3),
+            obs[:, 9:21].reshape(N, 3, 4), obs[:, 21:27])
+
+
 @partial(jax.jit, static_argnames=("num_cameras",))
 def ba_blocks(
     problem: BAProblem,
@@ -105,48 +168,56 @@ def ba_blocks(
     """
     C = num_cameras
     M, O = problem.obs_cam.shape
+    N = M * O
 
-    def per_obs(pid, oid):
-        cam = problem.obs_cam[pid, oid]
-        ok = problem.obs_ok[pid, oid]
-        K = problem.K[cam]
-        Rt0 = problem.Rt0[cam]
-        pose = poses[cam]
-        X = points[pid]
-        uv = problem.obs_uv[pid, oid]
-        r = _residual(K, Rt0, pose, X, uv)
-        Jc = _jac_pose(K, Rt0, pose, X, uv)      # (2, 6)
-        Jp = _jac_point(K, Rt0, pose, X, uv)     # (2, 3)
-        w = _huber_weight(r, huber_delta) * ok
-        return r * w, Jc * w, Jp * w, cam, ok
+    # Flatten observations and gather camera params on the MXU (the r3
+    # per-(pid, oid) vmap gathered K/Rt0/poses element-wise: 512k
+    # serialized small gathers dominated the 212 ms kernel time).
+    cam = problem.obs_cam.reshape(N)
+    ok = problem.obs_ok.reshape(N).astype(poses.dtype)
+    uv = problem.obs_uv.reshape(N, 2)
+    oh, K_o, Rt_o, pose_o = _gather_obs_params(problem, poses, cam, C)
+    X_o = jnp.broadcast_to(points[:, None, :], (M, O, 3)).reshape(N, 3)
 
-    pids = jnp.arange(M)[:, None].repeat(O, 1)
-    oids = jnp.arange(O)[None, :].repeat(M, 0)
-    r, Jc, Jp, cam, ok = jax.vmap(jax.vmap(per_obs))(pids, oids)
-    # r (M, O, 2), Jc (M, O, 2, 6), Jp (M, O, 2, 3)
+    r = jax.vmap(_residual)(K_o, Rt_o, pose_o, X_o, uv)      # (N, 2)
+    Jc = jax.vmap(_jac_pose)(K_o, Rt_o, pose_o, X_o, uv)     # (N, 2, 6)
+    Jp = jax.vmap(_jac_point)(K_o, Rt_o, pose_o, X_o, uv)    # (N, 2, 3)
+    w = jax.vmap(_huber_weight, in_axes=(0, None))(r, huber_delta) * ok
+    r = r * w[:, None]
+    Jc = Jc * w[:, None, None]
+    Jp = Jp * w[:, None, None]
 
     cost = 0.5 * jnp.sum(r ** 2)
 
-    Hpp = jnp.einsum("moki,mokj->mij", Jp, Jp)               # (M, 3, 3)
-    b_p = -jnp.einsum("moki,mok->mi", Jp, r)                 # (M, 3)
-    Hcp_obs = jnp.einsum("moki,mokj->moij", Jc, Jp)          # (M, O, 6, 3)
+    # Point blocks: batched (O*2, 3)^T (O*2, 3) matmuls.
+    Jp_m = Jp.reshape(M, O * 2, 3)
+    r_m = r.reshape(M, O * 2)
+    Hpp = jnp.einsum("mai,maj->mij", Jp_m, Jp_m)             # (M, 3, 3)
+    b_p = -jnp.einsum("mai,ma->mi", Jp_m, r_m)               # (M, 3)
 
-    # scatter camera blocks
-    cam_oh = jax.nn.one_hot(cam, C, dtype=r.dtype)           # (M, O, C)
-    Hcc = jnp.einsum("moki,mokj,moc->cij", Jc, Jc, cam_oh)   # (C, 6, 6)
-    b_c = -jnp.einsum("moki,mok,moc->ci", Jc, r, cam_oh)     # (C, 6)
+    # Camera blocks: per-obs 6x6/6-vec products reduced per camera by a
+    # single (C, N) @ (N, 36|6) one-hot matmul — no segment gathers.
+    Gcc = jnp.einsum("nki,nkj->nij", Jc, Jc).reshape(N, 36)
+    Hcc = (oh.T @ Gcc).reshape(C, 6, 6)
+    gc = jnp.einsum("nki,nk->ni", Jc, r)                     # (N, 6)
+    b_c = -(oh.T @ gc).reshape(C, 6)
 
-    # Schur reduction: S = Hcc_block_diag - sum_m W_m Hpp_m^-1 W_m^T
-    # where W_m (6C, 3) stacks per-camera couplings of point m.
+    # Couplings per observation, then per-point per-camera stacking as a
+    # batched (C, O) @ (O, 18) matmul.
+    Hcp = jnp.einsum("nki,nkj->nij", Jc, Jp).reshape(M, O, 18)
+    oh_m = oh.reshape(M, O, C)
+    W = jnp.einsum("moc,moe->mce", oh_m, Hcp).reshape(M, C, 6, 3)
+
+    # Schur reduction: S = Hcc_block_diag - sum_m W_m Hpp_m^-1 W_m^T.
+    # Closed-form 3x3 inverses; the big contraction is ONE
+    # (6C, 3M) @ (3M, 6C) MXU matmul.
     lam = 1e-6
     Hpp_reg = Hpp + lam * jnp.eye(3)
-    Hpp_inv = jnp.linalg.inv(Hpp_reg)
-
-    # W per point across cameras: (M, C, 6, 3)
-    W = jnp.einsum("moij,moc->mcij", Hcp_obs, cam_oh)
+    Hpp_inv = _inv3x3(Hpp_reg)
     WHinv = jnp.einsum("mcij,mjk->mcik", W, Hpp_inv)         # (M, C, 6, 3)
-    S_red = jnp.einsum("mcik,mdjk->cidj", WHinv, W)          # (C,6,C,6)
-    S = _blockdiag(Hcc) - S_red.reshape(C * 6, C * 6)
+    A = WHinv.transpose(0, 3, 1, 2).reshape(M * 3, C * 6)
+    B = W.transpose(0, 3, 1, 2).reshape(M * 3, C * 6)
+    S = _blockdiag(Hcc) - A.T @ B
     b_red = jnp.einsum("mcik,mk->ci", WHinv, b_p)            # (C, 6)
     b = (b_c - b_red).reshape(C * 6)
     return S, b, Hpp_reg, b_p, W, cost
@@ -176,13 +247,17 @@ def ba_step(
 
     fix_cameras=True freezes all poses (structure-only refinement —
     useful when calibration is trusted, as in the reference rig).
+
+    Gauge: fix_gauge pins camera 0 (6 DoF); the 7th gauge DoF — scale
+    about camera 0's center — is unconstrained by reprojection, so
+    solutions are defined up to that similarity unless the problem
+    carries a metric anchor (known baseline / fix_cameras).
     """
     C = num_cameras
     S, b, Hpp, b_p, W, cost = ba_blocks(problem, poses, points, C,
                                         huber_delta)
     if fix_cameras:
-        dp = jnp.linalg.solve(
-            Hpp + damping * jnp.eye(3), b_p[..., None])[..., 0]
+        dp = _solve3x3(Hpp + damping * jnp.eye(3), b_p)
         return poses, points + dp, cost
     S = S + damping * jnp.eye(C * 6)
     if fix_gauge:
@@ -195,7 +270,7 @@ def ba_step(
 
     # Back-substitute points: Hpp dp = b_p - W^T dc(summed over cams)
     Wt_dc = jnp.einsum("mcik,ci->mk", W, dc)
-    dp = jnp.linalg.solve(Hpp, (b_p - Wt_dc)[..., None])[..., 0]
+    dp = _solve3x3(Hpp, b_p - Wt_dc)
     return poses + dc, points + dp, cost
 
 
@@ -203,17 +278,16 @@ def ba_step(
 def ba_cost(problem: BAProblem, poses: jnp.ndarray, points: jnp.ndarray,
             num_cameras: int, huber_delta: float = 2.0) -> jnp.ndarray:
     M, O = problem.obs_cam.shape
-
-    def per_obs(pid, oid):
-        cam = problem.obs_cam[pid, oid]
-        r = _residual(problem.K[cam], problem.Rt0[cam], poses[cam],
-                      points[pid], problem.obs_uv[pid, oid])
-        w = _huber_weight(r, huber_delta) * problem.obs_ok[pid, oid]
-        return jnp.sum((r * w) ** 2)
-
-    pids = jnp.arange(M)[:, None].repeat(O, 1)
-    oids = jnp.arange(O)[None, :].repeat(M, 0)
-    return 0.5 * jnp.sum(jax.vmap(jax.vmap(per_obs))(pids, oids))
+    N = M * O
+    cam = problem.obs_cam.reshape(N)
+    ok = problem.obs_ok.reshape(N).astype(poses.dtype)
+    uv = problem.obs_uv.reshape(N, 2)
+    _, K_o, Rt_o, pose_o = _gather_obs_params(problem, poses, cam,
+                                              num_cameras)
+    X_o = jnp.broadcast_to(points[:, None, :], (M, O, 3)).reshape(N, 3)
+    r = jax.vmap(_residual)(K_o, Rt_o, pose_o, X_o, uv)
+    w = jax.vmap(_huber_weight, in_axes=(0, None))(r, huber_delta) * ok
+    return 0.5 * jnp.sum((r * w[:, None]) ** 2)
 
 
 def bundle_adjust(

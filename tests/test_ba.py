@@ -66,13 +66,30 @@ def test_ba_converges(rng):
 def test_ba_recovers_geometry(rng):
     prob, Rt_true, pts_true = _make_ba_problem(rng, pixel_noise=0.0)
     poses, points, costs = bundle_adjust(prob, iterations=10)
-    # with cam0 pinned and its true pose used, the gauge matches ground
-    # truth: points should recover
-    err = np.linalg.norm(np.asarray(points) - pts_true, axis=1)
-    assert np.median(err) < 5e-3, np.median(err)
-    # camera 2 pose recovered
+    # Pinning cam0 fixes 6 of the 7 gauge DoF; SCALE about cam0's
+    # center stays free (reprojection is similarity-invariant), so the
+    # solver can land anywhere on the 1-D zero-cost manifold — compare
+    # up to that scale.  (The pre-r4 assert compared raw coordinates
+    # and passed only by luck of the step trajectory at this seed;
+    # other seeds drifted to 0.1+ raw error at cost ~1e-8.)
+    R0, t0 = Rt_true[0][:, :3], Rt_true[0][:, 3]
+    C0 = -R0.T @ t0
+    est = np.asarray(points) - C0
+    ref = pts_true - C0
+    s = float((est * ref).sum() / np.maximum((est * est).sum(), 1e-12))
+    err = np.linalg.norm(C0 + s * est - pts_true, axis=1)
+    assert np.median(err) < 5e-3, (np.median(err), s)
+    assert abs(s - 1.0) < 0.25, s  # scale drift bounded by the damping
+    # camera 2 recovered up to the same scale gauge: rotation exactly,
+    # translation via t' = (t + (1-s^-1) R C0) * s^-1 ... equivalently
+    # compare camera centers under the similarity.
     Rt2 = apply_pose(np.asarray(prob.Rt0[2]), np.asarray(poses[2]))
-    assert np.abs(Rt2 - Rt_true[2]).max() < 5e-3
+    R2, t2 = Rt2[:, :3], Rt2[:, 3]
+    assert np.abs(R2 - Rt_true[2][:, :3]).max() < 5e-3
+    C2 = -R2.T @ t2                       # estimated center (est frame)
+    C2_aligned = C0 + s * (C2 - C0)
+    C2_true = -Rt_true[2][:, :3].T @ Rt_true[2][:, 3]
+    assert np.abs(C2_aligned - C2_true).max() < 5e-3
 
 
 def test_harris_and_matching(rng):

@@ -72,7 +72,7 @@ def test_distributed_ba_matches_single(cpu_devices):
     sys.path.insert(0, "tests")
     from test_ba import _make_ba_problem
     rng = np.random.default_rng(0)
-    prob, _, _ = _make_ba_problem(rng, num_cams=4, num_pts=64)
+    prob, Rt_true, _ = _make_ba_problem(rng, num_cams=4, num_pts=64)
     C = 4
     poses = jnp.zeros((C, 6))
     points = prob.points0
@@ -93,7 +93,16 @@ def test_distributed_ba_matches_single(cpu_devices):
     assert after1 < 0.01 * float(c1), (after1, float(c1))
     assert after2 < 0.01 * float(c2), (after2, float(c2))
     assert after1 / after2 < 2.0 and after2 / after1 < 2.0
-    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=2e-2)
+    # The steps agree up to the SCALE gauge about cam0's center (the
+    # 7th gauge DoF reprojection never constrains): psum ordering kicks
+    # the near-free scale direction, so compare after scale alignment.
+    R0, t0 = Rt_true[0][:, :3], Rt_true[0][:, 3]
+    C0 = -R0.T @ t0
+    a = np.asarray(x2) - C0
+    b = np.asarray(x1) - C0
+    s = float((a * b).sum() / np.maximum((a * a).sum(), 1e-12))
+    assert abs(s - 1.0) < 0.05, s
+    np.testing.assert_allclose(C0 + s * a, np.asarray(x1), atol=5e-3)
 
 
 def test_all_gather_clouds():
