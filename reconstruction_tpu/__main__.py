@@ -40,7 +40,16 @@ def main(argv):
             # clean failure like the reference (`CReconstruction.cpp:8-14`)
             print(f"Can't open file: {e.filename}")
             return -1
-        res = reconstruct(cfg, pairs, output_path=cfg.outfilename)
+        mesh = None
+        if "--sharded" in argv[2:]:
+            # Pair-sharded SPMD stereo over all visible devices
+            # (replaces the reference's sequential pair loop,
+            # `CStereoMatching.cpp:17`).
+            import jax
+            from reconstruction_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(jax.devices(), frame=1, tile=1)
+        res = reconstruct(cfg, pairs, output_path=cfg.outfilename,
+                          mesh=mesh)
         print(res.timer.report())
     print(f"total time: {time.time() - start:.3f} s")
     return 0

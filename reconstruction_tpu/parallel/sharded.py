@@ -51,7 +51,8 @@ def match_level_pairs_sharded(
     def local(i0, i1, m0, m1, c0, c1):
         cs = None if coarse is None else LevelState(disp0=c0, disp1=c1)
         out = match_one_level(i0, i1, m0, m1, cs, level, **kw)
-        return out.disp0, out.disp1
+        return (out.disp0, out.disp1,
+                out.refine_drift0, out.refine_drift1)
 
     vm = jax.vmap(local)
     if coarse is None:
@@ -64,8 +65,9 @@ def match_level_pairs_sharded(
 
     args = [imgs0, imgs1, masks0, masks1, c0, c1]
     args = [jax.device_put(a, pair_shard) for a in args]
-    d0, d1 = jax.jit(vm)(*args)
-    return LevelState(disp0=d0, disp1=d1)
+    d0, d1, r0, r1 = jax.jit(vm)(*args)
+    return LevelState(disp0=d0, disp1=d1,
+                      refine_drift0=r0, refine_drift1=r1)
 
 
 @partial(jax.jit, static_argnames=("mesh", "iterations", "s_cap", "band"))

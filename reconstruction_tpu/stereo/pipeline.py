@@ -166,41 +166,33 @@ class PairResult:
     rect_masks_eroded: Tuple[np.ndarray, np.ndarray] = None
 
 
-def match_pair(
+def remap_pair_views(
     cfg: ReconstructionConfig,
     image0: np.ndarray,
     image1: np.ndarray,
     mask0: np.ndarray,
     mask1: np.ndarray,
     K0: np.ndarray,
-    Rt0: np.ndarray,
     K1: np.ndarray,
-    Rt1: np.ndarray,
-) -> PairResult:
-    """Full per-pair pipeline (`MatchAllLayer` body,
-    `CStereoMatching.cpp:17-32`): rectify + remap at working resolution,
-    mask erosion, pyramids, per-level matching, triangulation.
+    rect: RectifyResult,
+    working: Tuple[int, int],
+    use_native: bool,
+):
+    """Remap both views to the rectified working grid
+    (`CStereoMatching.cpp:140-158`).  On the native backend the warp
+    runs on HOST (tools/profile_pair.py: the device remap cost
+    4.5 s/pair of serialized 2D gathers plus a 1.5 s fetch of images
+    the host needs anyway for texturing); only the quantized uint8
+    results upload.
 
-    Images/masks are original-resolution host arrays (BGR / [0,255]).
+    Returns (imgs, masks_eroded, raw_masks, host_imgs, host_raw_masks);
+    the first three are device arrays (f32 on the uint8 grid), the host
+    lists are uint8 and empty on the jax path.
     """
-    origin_size = (image0.shape[1], image0.shape[0])
-    working = cfg.finest_size
-    rect = rectify_pair(K0, Rt0, K1, Rt1, origin_size, working)
-
-    from reconstruction_tpu.cloud.backend import resolve_backend
-    use_native = resolve_backend(cfg.cloud.backend) == "native"
-    if use_native:
-        from reconstruction_tpu import native as native_mod
-        use_native = native_mod.available()
-
-    # Remap both views to the rectified working grid
-    # (`CStereoMatching.cpp:140-158`).  On the native backend the warp
-    # runs on HOST (tools/profile_pair.py: the device remap cost
-    # 4.5 s/pair of serialized 2D gathers plus a 1.5 s fetch of images
-    # the host needs anyway for texturing); only the quantized uint8
-    # results upload.
     imgs, masks, raw_masks = [], [], []
     host_imgs, host_raw_masks = [], []
+    if use_native:
+        from reconstruction_tpu import native as native_mod
     se = cfg.stereo.mask_erode_base * (1 << (cfg.pyramid_levels - 1))
     for img, msk, Rr, P in ((image0, mask0, rect.R1, rect.P1_scaled),
                             (image1, mask1, rect.R2, rect.P2_scaled)):
@@ -229,6 +221,39 @@ def match_pair(
             mk = erode_mask(mk, se)
             imgs.append(quantize_u8(im))
             masks.append(mk)
+    return imgs, masks, raw_masks, host_imgs, host_raw_masks
+
+
+def match_pair(
+    cfg: ReconstructionConfig,
+    image0: np.ndarray,
+    image1: np.ndarray,
+    mask0: np.ndarray,
+    mask1: np.ndarray,
+    K0: np.ndarray,
+    Rt0: np.ndarray,
+    K1: np.ndarray,
+    Rt1: np.ndarray,
+) -> PairResult:
+    """Full per-pair pipeline (`MatchAllLayer` body,
+    `CStereoMatching.cpp:17-32`): rectify + remap at working resolution,
+    mask erosion, pyramids, per-level matching, triangulation.
+
+    Images/masks are original-resolution host arrays (BGR / [0,255]).
+    """
+    origin_size = (image0.shape[1], image0.shape[0])
+    working = cfg.finest_size
+    rect = rectify_pair(K0, Rt0, K1, Rt1, origin_size, working)
+
+    from reconstruction_tpu.cloud.backend import resolve_backend
+    use_native = resolve_backend(cfg.cloud.backend) == "native"
+    if use_native:
+        from reconstruction_tpu import native as native_mod
+        use_native = native_mod.available()
+
+    imgs, masks, raw_masks, host_imgs, host_raw_masks = remap_pair_views(
+        cfg, image0, image1, mask0, mask1, K0, K1, rect, working,
+        use_native)
 
     pyr0 = build_pyramid(imgs[0], cfg.pyramid_levels)
     pyr1 = build_pyramid(imgs[1], cfg.pyramid_levels)
