@@ -113,9 +113,14 @@ def bench_config(npairs):
     if "RECON_BENCH_GRID" in os.environ:
         surface = dataclasses.replace(
             surface, grid_resolution=int(os.environ["RECON_BENCH_GRID"]))
+    stereo = cfg.stereo
+    if "RECON_REFINE_CV_DTYPE" in os.environ:  # bf16-refine A/B knob
+        stereo = dataclasses.replace(
+            stereo, refine_cv_dtype=os.environ["RECON_REFINE_CV_DTYPE"])
     return cfg.replace(
         cam_pairs=cfg.cam_pairs[:npairs],
         cloud=dataclasses.replace(cfg.cloud, mls_radius=0.02),
+        stereo=stereo,
         surface=surface,
         **kw)
 

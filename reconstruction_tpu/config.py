@@ -66,6 +66,13 @@ class StereoParams:
     # T-sweep segment instead of every sweep; r3 fetch-fenced numbers
     # in BENCH_NOTES, r1's 0.147/0.235 predate the honest fence).
     refine_impl: str = "auto"
+    # Pallas refine window-cost dtype: "float32" (bit-equal to the XLA
+    # path) or "bfloat16" (measured 40.5 vs 63.0 ms/30-sweeps at
+    # 1920x1280 on v5e with the (T=6, block=32) tiling, but cost
+    # quantization perturbs the refined disparity: p90 0.27 slot / p99
+    # 0.94 vs the f32 path at 120 sweeps — adopt only where the
+    # end-to-end fidelity budget allows, tools/check_refine_bf16.py).
+    refine_cv_dtype: str = "float32"
     # Window re-centering cadence for the refine drift budget: -1 = auto
     # (ONE mid-run re-extraction — raises the usable drift budget from
     # the +-12-slot mini window toward the banded volume's +-16 margin

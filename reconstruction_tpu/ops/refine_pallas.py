@@ -87,15 +87,25 @@ def _segment_kernel(T: int, block: int, halo: int, W: int):
             dE = jnp.concatenate([d[:, 1:], jnp.full((Hb, 1), nm)], 1)
             c0 = jnp.trunc(d - 1.5)
             j = (jnp.float32(CENTER) + (c0 - jref)).astype(jnp.int32)
-            xs = []
-            for off in (-1, 0, 1):
-                jj = j + off
-                acc = jnp.full(d.shape, 0.5, jnp.float32)
-                for k in range(MINI):
-                    acc = jnp.where(jj == k, cv_ref[0, k], acc)
-                xs.append(acc)
+            # Consolidated slot extraction: ONE compare per k feeds all
+            # three taps (xi0/xi1/xi2 = slots j-1/j/j+1), vs the r3
+            # three-loop form's 96 compares + 96 selects.  The two extra
+            # k steps (-1, MINI) cover the neighbor taps of
+            # out-of-window centers, keeping it bit-equal to the XLA
+            # mini-CV path (0.5 fills beyond the window).
+            half = jnp.full(d.shape, 0.5, jnp.float32)
+            xi0, xi1, xi2 = half, half, half
+            plane = lambda k: cv_ref[0, k].astype(jnp.float32)
+            for k in range(-1, MINI + 1):
+                mk = j == k
+                if 0 <= k < MINI:
+                    xi1 = jnp.where(mk, plane(k), xi1)
+                if 1 <= k <= MINI:
+                    xi0 = jnp.where(mk, plane(k - 1), xi0)
+                if -1 <= k < MINI - 1:
+                    xi2 = jnp.where(mk, plane(k + 1), xi2)
             new_d, valid = _refine_math(d, dN, dS, dE, dW_,
-                                        xs[0], xs[1], xs[2], ws)
+                                        xi0, xi1, xi2, ws)
             return jnp.where(valid & inner, new_d, d)
 
         out = jax.lax.fori_loop(0, T, one_iter, d)
@@ -105,7 +115,8 @@ def _segment_kernel(T: int, block: int, halo: int, W: int):
 
 
 @partial(jax.jit, static_argnames=("iterations", "s_cap", "band", "T",
-                                   "block", "interpret", "recenter_every"))
+                                   "block", "interpret", "recenter_every",
+                                   "cv_dtype"))
 def disparity_refine_pallas(
     disp: jnp.ndarray,
     imgL: jnp.ndarray,
@@ -119,6 +130,7 @@ def disparity_refine_pallas(
     block: int = 24,
     interpret: bool = False,
     recenter_every: int = 0,
+    cv_dtype: str = "float32",
 ) -> jnp.ndarray:
     """Drop-in alternative to `stereo.refine.disparity_refine`
     (bit-equal to its default mini-CV path).
@@ -173,6 +185,13 @@ def disparity_refine_pallas(
         jbig0 = (c00.astype(jnp.int32) + 2) - base[:, None]
         cvm = _window_slots_binshift(cv, jbig0 - CENTER, MINI, s_cap)
         cv_h = halo_rows(cvm, 0.5)[starts].transpose(0, 3, 1, 2)
+        if cv_dtype != "float32":
+            # bf16 window stream: halves the dominant HBM read and the
+            # VMEM slab (enables bigger T/block tilings).  NOT bit-equal
+            # to the XLA path — costs quantize to 8 mantissa bits; the
+            # parabola's subpixel placement shifts by O(1e-2) slot
+            # (measured in the tuner before adoption).
+            cv_h = cv_h.astype(jnp.dtype(cv_dtype))
         jref_h = halo_rows(c00, 0.0)[starts]
         return cv_h, jref_h
 

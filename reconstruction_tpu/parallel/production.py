@@ -116,6 +116,7 @@ def match_pairs_sharded(
             median_iters=cfg.stereo.median_iterations,
             refine_impl=cfg.stereo.refine_impl,
             recenter_every=cfg.stereo.refine_recenter_every,
+            refine_cv_dtype=cfg.stereo.refine_cv_dtype,
         )
         drifts.append(jnp.stack([state.refine_drift0,
                                  state.refine_drift1], axis=1))

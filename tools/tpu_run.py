@@ -56,7 +56,8 @@ def main():
     # do NOT queue cleanly — r3 observed them time-sharing the relay in
     # multi-minute slices, stalling each other's fetches for 9-20 min.
     import fcntl
-    lock_path = "/tmp/recon_tpu_client.lock"
+    lock_path = os.environ.get("RECON_TPU_LOCK",
+                               "/tmp/recon_tpu_client.lock")
     lock = open(lock_path, "w")
     print(f"[tpu_run] waiting for local TPU-client lock ({lock_path})...",
           file=sys.stderr, flush=True)

@@ -47,20 +47,36 @@ def main():
     disp0 = jnp.asarray(np.where(valid, 40.0, NOMATCH).astype(np.float32))
     iL, iR = jnp.asarray(imgL), jnp.asarray(imgR)
 
+    # (T, block, cv_dtype): f32 slab must stay under ~7 MB for the
+    # double-buffered window block; bf16 halves it (NOT bit-equal —
+    # the tuner reports the deviation so adoption is a measured call).
+    variants = (
+        (6, 24, "float32"), (10, 16, "float32"), (10, 24, "float32"),
+        (6, 32, "float32"), (15, 16, "float32"),
+        (6, 32, "bfloat16"), (10, 32, "bfloat16"), (15, 32, "bfloat16"),
+        (30, 32, "bfloat16"), (15, 48, "bfloat16"), (30, 48, "bfloat16"),
+    )
     ref = None
-    for T, block in ((10, 16), (10, 24), (10, 32), (6, 24), (15, 16)):
+    results = []
+    for T, block, dt in variants:
+        slab = block + 2 * T
+        vmem_mb = 32 * slab * W * (4 if dt == "float32" else 2) / 2**20
         def fn(d):
             return disparity_refine_pallas(d, iL, iR, m, 30, 0.03,
-                                           128, 64, T=T, block=block)
+                                           128, 64, T=T, block=block,
+                                           cv_dtype=dt)
 
         try:
             out = np.asarray(fn(disp0))
         except Exception as e:  # noqa: BLE001 — report and continue
-            log(f"T={T} block={block}: FAILED {type(e).__name__}: {e}")
+            log(f"T={T} block={block} {dt}: FAILED "
+                f"{type(e).__name__}: {str(e)[:200]}")
             continue
         if ref is None:
             ref = out
         eq = np.array_equal(ref, out)
+        vb = (ref != NOMATCH) & (out != NOMATCH)
+        dev = float(np.abs(np.where(vb, ref - out, 0.0)).max())
 
         def make_loop(n, fn=fn):
             @jax.jit
@@ -71,7 +87,13 @@ def main():
             return f
 
         t = benchmod._time_chained(make_loop, 1, 3)
-        log(f"T={T} block={block}: {t*1e3:.1f} ms/30-sweeps  equal={eq}")
+        log(f"T={T:>2} block={block:>2} {dt:<8}: {t*1e3:6.1f} ms/30-sweeps"
+            f"  cv_slab={vmem_mb:.1f}MB  equal={eq} maxdev={dev:.2e}")
+        results.append((t, T, block, dt))
+    if results:
+        results.sort()
+        t, T, block, dt = results[0]
+        log(f"BEST: T={T} block={block} {dt} at {t*1e3:.1f} ms")
     log("DONE")
     return 0
 
