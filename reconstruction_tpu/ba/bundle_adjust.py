@@ -66,22 +66,140 @@ def _rodrigues(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def _project(K, Rt0, pose6, X):
-    """Project point X through camera with pose perturbation pose6."""
-    w, tau = pose6[:3], pose6[3:]
-    R = _rodrigues(w) @ Rt0[:, :3]
-    t = _rodrigues(w) @ Rt0[:, 3] + tau
-    xc = R @ X + t
-    uvw = K @ xc
-    return uvw[:2] / uvw[2]
+    """Project point X through camera with pose perturbation pose6.
+
+    Fully elementwise: every matrix action is unrolled to scalar
+    components, because under vmap the 3x3 matmul form lowers to
+    batched tiny dot_generals whose 3-wide contractions pad MXU tiles —
+    the r4 on-chip breakdown measured 12.9 ms for the PRIMAL residual
+    alone and 58 ms with jacfwd tangents at 512k observations
+    (tools/profile_ba2.py); the unrolled form is pure VPU vector code.
+    The rotation acts via Rodrigues on vectors:
+    R(w) v = v + A (w x v) + B (w x (w x v)), same smooth-sinc A/B and
+    eps conventions as _rodrigues.
+    """
+    w0, w1, w2 = pose6[0], pose6[1], pose6[2]
+    tau0, tau1, tau2 = pose6[3], pose6[4], pose6[5]
+    X0, X1, X2 = X[0], X[1], X[2]
+    y0 = Rt0[0, 0] * X0 + Rt0[0, 1] * X1 + Rt0[0, 2] * X2 + Rt0[0, 3]
+    y1 = Rt0[1, 0] * X0 + Rt0[1, 1] * X1 + Rt0[1, 2] * X2 + Rt0[1, 3]
+    y2 = Rt0[2, 0] * X0 + Rt0[2, 1] * X1 + Rt0[2, 2] * X2 + Rt0[2, 3]
+    th2 = w0 * w0 + w1 * w1 + w2 * w2
+    th = jnp.sqrt(th2 + 1e-12)
+    A = jnp.sin(th) / th
+    B = (1.0 - jnp.cos(th)) / (th2 + 1e-12)
+    c0 = w1 * y2 - w2 * y1
+    c1 = w2 * y0 - w0 * y2
+    c2 = w0 * y1 - w1 * y0
+    d0 = w1 * c2 - w2 * c1
+    d1 = w2 * c0 - w0 * c2
+    d2 = w0 * c1 - w1 * c0
+    z0 = y0 + A * c0 + B * d0 + tau0
+    z1 = y1 + A * c1 + B * d1 + tau1
+    z2 = y2 + A * c2 + B * d2 + tau2
+    u = K[0, 0] * z0 + K[0, 1] * z1 + K[0, 2] * z2
+    v = K[1, 0] * z0 + K[1, 1] * z1 + K[1, 2] * z2
+    s = K[2, 0] * z0 + K[2, 1] * z1 + K[2, 2] * z2
+    return jnp.stack([u / s, v / s])
 
 
 def _residual(K, Rt0, pose6, X, uv):
     return _project(K, Rt0, pose6, X) - uv
 
 
-# Per-observation Jacobians via forward-mode autodiff.
+# Per-observation Jacobians via forward-mode autodiff — kept as the
+# reference implementation the analytic forms are tested against
+# (test_ba.test_analytic_jacobians_match_jacfwd); production assembly
+# uses _obs_jacobians (jacfwd's 9 batched tangent streams measured
+# ~25 ms of the 30 ms ba_step at 512k observations).
 _jac_pose = jax.jacfwd(_residual, argnums=2)
 _jac_point = jax.jacfwd(_residual, argnums=3)
+
+
+def _obs_jacobians(K, Rt0, pose6, X, uv):
+    """Residual + closed-form Jacobians for one observation.
+
+    Returns (r (2,), Jc (2, 6) d r/d pose6, Jp (2, 3) d r/d X), all
+    derived by hand from the elementwise _project chain:
+      y = R0 X + t0;  z = R(w) y + tau;  p = K z;  r = p[:2]/p[2] - uv
+    with R(w) v = v + A (w x v) + B (w x (w x v)).
+      dz/dtau = I;  dz/dX = R(w) R0 (Rodrigues action on R0 columns);
+      dz/dw_k = A'_k c + A (e_k x y) + B'_k d + B (e_k x c + w x (e_k x y))
+    where A'_k = w_k (cos th - A)/th^2, B'_k = w_k (A - 2B)/th^2 (same
+    smoothed-sinc eps conventions as _project, so the forms agree with
+    autodiff of the smoothed primal to ~1e-5).
+    """
+    w0, w1, w2 = pose6[0], pose6[1], pose6[2]
+    tau0, tau1, tau2 = pose6[3], pose6[4], pose6[5]
+    X0, X1, X2 = X[0], X[1], X[2]
+    y0 = Rt0[0, 0] * X0 + Rt0[0, 1] * X1 + Rt0[0, 2] * X2 + Rt0[0, 3]
+    y1 = Rt0[1, 0] * X0 + Rt0[1, 1] * X1 + Rt0[1, 2] * X2 + Rt0[1, 3]
+    y2 = Rt0[2, 0] * X0 + Rt0[2, 1] * X1 + Rt0[2, 2] * X2 + Rt0[2, 3]
+    th2 = w0 * w0 + w1 * w1 + w2 * w2
+    th = jnp.sqrt(th2 + 1e-12)
+    A = jnp.sin(th) / th
+    B = (1.0 - jnp.cos(th)) / (th2 + 1e-12)
+    dA = (jnp.cos(th) - A) / (th2 + 1e-12)   # dA/dw_k = w_k * dA
+    dB = (A - 2.0 * B) / (th2 + 1e-12)       # dB/dw_k = w_k * dB
+
+    def cross(a0, a1, a2, b0, b1, b2):
+        return (a1 * b2 - a2 * b1, a2 * b0 - a0 * b2, a0 * b1 - a1 * b0)
+
+    def rot(v0, v1, v2):
+        """R(w) v, reusing A/B."""
+        c0, c1, c2 = cross(w0, w1, w2, v0, v1, v2)
+        d0, d1, d2 = cross(w0, w1, w2, c0, c1, c2)
+        return (v0 + A * c0 + B * d0, v1 + A * c1 + B * d1,
+                v2 + A * c2 + B * d2)
+
+    c0, c1, c2 = cross(w0, w1, w2, y0, y1, y2)
+    d0, d1, d2 = cross(w0, w1, w2, c0, c1, c2)
+    z0 = y0 + A * c0 + B * d0 + tau0
+    z1 = y1 + A * c1 + B * d1 + tau1
+    z2 = y2 + A * c2 + B * d2 + tau2
+    u = K[0, 0] * z0 + K[0, 1] * z1 + K[0, 2] * z2
+    v = K[1, 0] * z0 + K[1, 1] * z1 + K[1, 2] * z2
+    s = K[2, 0] * z0 + K[2, 1] * z1 + K[2, 2] * z2
+    inv_s = 1.0 / s
+    us = u * inv_s
+    vs = v * inv_s
+    r = jnp.stack([us - uv[0], vs - uv[1]])
+
+    # dr/dz rows (2, 3)
+    Ju = [(K[0, j] - us * K[2, j]) * inv_s for j in range(3)]
+    Jv = [(K[1, j] - vs * K[2, j]) * inv_s for j in range(3)]
+
+    # dz/dw columns (one per w_k)
+    dz_w = []
+    for k in range(3):
+        e = [0.0, 0.0, 0.0]
+        e[k] = 1.0
+        ey = cross(e[0], e[1], e[2], y0, y1, y2)       # e_k x y
+        ec = cross(e[0], e[1], e[2], c0, c1, c2)       # e_k x c
+        wey = cross(w0, w1, w2, *ey)                   # w x (e_k x y)
+        wk = (w0, w1, w2)[k]
+        dz_w.append(tuple(
+            wk * dA * (c0, c1, c2)[j] + A * ey[j]
+            + wk * dB * (d0, d1, d2)[j] + B * (ec[j] + wey[j])
+            for j in range(3)))
+
+    # dz/dX columns: R(w) applied to R0's columns.
+    rx = [rot(Rt0[0, j], Rt0[1, j], Rt0[2, j]) for j in range(3)]
+
+    def proj_rows(cols):
+        """(2, len(cols)) projection of dz columns through dr/dz."""
+        top = [Ju[0] * col[0] + Ju[1] * col[1] + Ju[2] * col[2]
+               for col in cols]
+        bot = [Jv[0] * col[0] + Jv[1] * col[1] + Jv[2] * col[2]
+               for col in cols]
+        return jnp.stack([jnp.stack(top), jnp.stack(bot)])
+
+    eye_cols = [(1.0 + 0.0 * z0, 0.0 * z0, 0.0 * z0),
+                (0.0 * z0, 1.0 + 0.0 * z0, 0.0 * z0),
+                (0.0 * z0, 0.0 * z0, 1.0 + 0.0 * z0)]
+    Jc = jnp.concatenate([proj_rows(dz_w), proj_rows(eye_cols)], axis=1)
+    Jp = proj_rows(rx)
+    return r, Jc, Jp
 
 
 def _huber_weight(r: jnp.ndarray, delta: float) -> jnp.ndarray:
@@ -179,9 +297,7 @@ def ba_blocks(
     oh, K_o, Rt_o, pose_o = _gather_obs_params(problem, poses, cam, C)
     X_o = jnp.broadcast_to(points[:, None, :], (M, O, 3)).reshape(N, 3)
 
-    r = jax.vmap(_residual)(K_o, Rt_o, pose_o, X_o, uv)      # (N, 2)
-    Jc = jax.vmap(_jac_pose)(K_o, Rt_o, pose_o, X_o, uv)     # (N, 2, 6)
-    Jp = jax.vmap(_jac_point)(K_o, Rt_o, pose_o, X_o, uv)    # (N, 2, 3)
+    r, Jc, Jp = jax.vmap(_obs_jacobians)(K_o, Rt_o, pose_o, X_o, uv)
     w = jax.vmap(_huber_weight, in_axes=(0, None))(r, huber_delta) * ok
     r = r * w[:, None]
     Jc = Jc * w[:, None, None]

@@ -214,7 +214,11 @@ def remap_pair_views(
             host_imgs.append(im_u8)
             host_raw_masks.append(mk_u8)
             im = jnp.asarray(im_u8).astype(jnp.float32)
-            mk = jnp.asarray(mk_h)
+            # Upload the mask as uint8 too and widen on device: the f32
+            # mask upload was 9.8 MB/view of relay traffic (~2 s/pair
+            # with both views) for data whose only consumers threshold
+            # at 254.5 — the u8 rounding preserves that test.
+            mk = jnp.asarray(mk_u8).astype(jnp.float32)
             raw_masks.append(mk)
             masks.append(erode_mask(mk, se))
             imgs.append(im)  # already on the uint8 grid
@@ -343,6 +347,18 @@ class PairDeviceWork:
     imgs: list
 
 
+@jax.jit
+def _quantize_disp(disp0):
+    """Range-adaptive int16 fixed-point encoding (see match_pair_finish)."""
+    dabs = jnp.where(disp0 == NOMATCH, 0.0, jnp.abs(disp0))
+    dmax = jnp.maximum(jnp.max(dabs), 1.0)
+    disp_q = jnp.where(
+        disp0 == NOMATCH, jnp.int32(-32768),
+        jnp.clip(jnp.round(disp0 * (32000.0 / dmax)),
+                 -32000, 32000).astype(jnp.int32)).astype(jnp.int16)
+    return disp_q, dmax
+
+
 def match_pair_finish(work: PairDeviceWork) -> PairResult:
     """Packed fetch + host-side triangulation for a dispatched pair."""
     cfg = work.cfg
@@ -361,32 +377,32 @@ def match_pair_finish(work: PairDeviceWork) -> PairResult:
     # colors ARE the already-host rectified image), saving the 35 MB
     # xyz/colors fetch that dominated the overlapped filter thread.
     from reconstruction_tpu.utils.transfer import fetch_packed
-    to_u8 = lambda a: jnp.clip(a, 0, 255).astype(jnp.uint8)
     # Disparity ships as range-adaptive int16 fixed point: |d|max maps
     # to 32000, so the quantization step is |d|max/32000 (~0.002 slot
     # at the bench's ~65-slot range) — far below the refine's subpixel
     # noise — while halving the dominant fetch payload (9.8 -> 4.9 MB
     # per pair on a 15-20 MB/s relay).  NOMATCH rides as -32768.
-    dabs = jnp.where(state.disp0 == NOMATCH, 0.0, jnp.abs(state.disp0))
-    dmax = jnp.maximum(jnp.max(dabs), 1.0)
-    disp_q = jnp.where(
-        state.disp0 == NOMATCH, jnp.int32(-32768),
-        jnp.clip(jnp.round(state.disp0 * (32000.0 / dmax)),
-                 -32000, 32000).astype(jnp.int32)).astype(jnp.int16)
+    # The quantizer and the u8 casts run INSIDE two jitted programs
+    # (the quantizer + the packer) — each eager epilogue op was a
+    # separate dispatch on the relay's round-trip floor.
+    disp_q, dmax = _quantize_disp(state.disp0)
     fetch = [disp_q, dmax, jnp.asarray(drifts, jnp.float32)]
+    casts = [None, None, None]
     if cfg.cloud.dedup:
-        fetch += [to_u8(masks[0]), to_u8(masks[1])]
+        fetch += [masks[0], masks[1]]
+        casts += ["u8", "u8"]
     if use_native:
-        fetch += [to_u8(mpyr0_finest),
+        fetch += [mpyr0_finest,
                   jnp.stack([m0.YL, m0.YR, m0.XL, m0.XR])]
+        casts += ["u8", None]
     if host_imgs:
         im0_h, im1_h = host_imgs
         rm0_h, rm1_h = host_raw_masks
     else:
-        fetch += [to_u8(imgs[0]), to_u8(imgs[1]),
-                  to_u8(quantize_u8(raw_masks[0])),
-                  to_u8(quantize_u8(raw_masks[1]))]
-    out = fetch_packed(fetch)
+        fetch += [imgs[0], imgs[1],
+                  quantize_u8(raw_masks[0]), quantize_u8(raw_masks[1])]
+        casts += ["u8", "u8", "u8", "u8"]
+    out = fetch_packed(fetch, casts)
     disp_q_h, dmax_h, drifts_h = out[:3]
     disp_h = np.where(
         disp_q_h == -32768, np.float32(NOMATCH),

@@ -13,33 +13,63 @@ from typing import List, Sequence
 
 import numpy as np
 
+_PACKERS = {}  # casts-signature -> jitted packer (see fetch_packed)
 
-def fetch_packed(arrays: Sequence) -> List[np.ndarray]:
-    """Fetch a list of jax arrays as one device->host transfer.
 
-    Returns numpy arrays with the original shapes/dtypes (bool included).
-    Numpy inputs pass through untouched.
-    """
+def _get_packer(casts):
+    """Jitted packer for one casts signature (jit then caches by input
+    shapes): eager per-array bitcasts/casts each paid a separate
+    dispatch on the relay's 0.1-0.6 s round-trip floor; the whole pack
+    is ONE program now."""
     import jax
     import jax.numpy as jnp
 
-    parts, metas = [], []
-    for a in arrays:
+    def _pack_impl(*arrs):
+        parts = []
+        for a, cast in zip(arrs, casts):
+            if cast == "u8":
+                a = jnp.clip(a, 0, 255).astype(jnp.uint8)
+            dt = np.dtype(a.dtype)
+            if dt == np.uint8:
+                b = a.reshape(-1)
+            elif dt == np.bool_:
+                b = a.astype(jnp.uint8).reshape(-1)
+            else:
+                b = jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(-1)
+            parts.append(b)
+        return jnp.concatenate(parts)
+
+    return jax.jit(_pack_impl)
+
+
+def fetch_packed(arrays: Sequence, casts: Sequence = None) -> List[np.ndarray]:
+    """Fetch a list of jax arrays as one device->host transfer.
+
+    Returns numpy arrays with the original shapes/dtypes (bool included).
+    Numpy inputs pass through untouched.  casts[i] == "u8" converts that
+    array to uint8 INSIDE the packed program (clip 0..255 + truncate,
+    the pipeline's to_u8 semantics).
+    """
+    casts = list(casts) if casts is not None else [None] * len(arrays)
+    parts, metas, part_casts = [], [], []
+    for a, cast in zip(arrays, casts):
         if isinstance(a, np.ndarray):
             metas.append(("np", a, None, 0))
             continue
-        dt = np.dtype(a.dtype)
-        if dt == np.uint8:
-            b = a.reshape(-1)
-        elif dt == np.bool_:
-            b = a.astype(jnp.uint8).reshape(-1)
-        else:
-            b = jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(-1)
-        metas.append(("jax", a.shape, dt, int(b.size)))
-        parts.append(b)
+        dt = np.uint8 if cast == "u8" else np.dtype(a.dtype)
+        dt = np.dtype(dt)
+        nbytes = int(np.prod(a.shape, dtype=np.int64)) * (
+            1 if dt in (np.uint8, np.bool_) else dt.itemsize)
+        metas.append(("jax", a.shape, dt, nbytes))
+        parts.append(a)
+        part_casts.append(cast)
     if not parts:
         return [m[1] for m in metas]
-    buf = np.asarray(jnp.concatenate(parts))
+    key = tuple(part_casts)
+    packer = _PACKERS.get(key)
+    if packer is None:
+        packer = _PACKERS[key] = _get_packer(key)
+    buf = np.asarray(packer(*parts))
     out, off = [], 0
     for kind, shape, dt, nbytes in metas:
         if kind == "np":

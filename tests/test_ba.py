@@ -54,6 +54,38 @@ def _make_ba_problem(rng, num_cams=4, num_pts=60, pixel_noise=0.0,
     return prob, Rt_true, pts_true
 
 
+def test_analytic_jacobians_match_jacfwd(rng):
+    """The closed-form per-observation Jacobians (production assembly)
+    must match forward-mode autodiff of the same smoothed primal."""
+    import jax
+    from reconstruction_tpu.ba.bundle_adjust import (
+        _jac_point, _jac_pose, _obs_jacobians, _residual)
+    K = jnp.asarray(np.array([[800.0, 0, 320], [0, 820, 240],
+                              [0, 0, 1]], np.float32))
+    for trial in range(10):
+        Rt = np.hstack([np.linalg.qr(rng.normal(size=(3, 3)))[0],
+                        rng.normal(size=(3, 1))]).astype(np.float32)
+        pose = (rng.normal(scale=0.3, size=6).astype(np.float32)
+                if trial % 2 else np.zeros(6, np.float32))
+        X = rng.normal(size=3).astype(np.float32)
+        X[2] += 6.0
+        uv = rng.uniform(0, 600, 2).astype(np.float32)
+        args = (K, jnp.asarray(Rt), jnp.asarray(pose), jnp.asarray(X),
+                jnp.asarray(uv))
+        r, Jc, Jp = _obs_jacobians(*args)
+        np.testing.assert_allclose(np.asarray(r),
+                                   np.asarray(_residual(*args)),
+                                   rtol=1e-5, atol=1e-5)
+        ref_c = np.asarray(_jac_pose(*args))
+        ref_p = np.asarray(_jac_point(*args))
+        sc = max(1.0, np.abs(ref_c).max())
+        sp = max(1.0, np.abs(ref_p).max())
+        np.testing.assert_allclose(np.asarray(Jc) / sc, ref_c / sc,
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(Jp) / sp, ref_p / sp,
+                                   atol=2e-4)
+
+
 def test_ba_converges(rng):
     prob, Rt_true, pts_true = _make_ba_problem(rng)
     poses, points, costs = bundle_adjust(prob, iterations=8)
