@@ -202,6 +202,57 @@ def _obs_jacobians(K, Rt0, pose6, X, uv):
     return r, Jc, Jp
 
 
+def _obs_jac_scalars(K, Rt0, pose6, X, uv):
+    """_obs_jacobians flattened to a 20-tuple of scalars
+    (r0, r1, Jc[2x6] row-major, Jp[2x3] row-major).  vmapped, each
+    output is a clean (N,) vector — the stacked (N, 2, 6)/(N, 2, 3)
+    forms pad their (2, 6)/(2, 3) trailing dims to full (8, 128)
+    vector tiles whenever XLA materializes them at a fusion boundary
+    (8-43x HBM inflation, the dominant cost of the r4 mid-round
+    31 ms Schur step — tools/profile_ba3.py)."""
+    r, Jc, Jp = _obs_jacobians(K, Rt0, pose6, X, uv)
+    out = [r[0], r[1]]
+    out += [Jc[a, i] for a in range(2) for i in range(6)]
+    out += [Jp[a, i] for a in range(2) for i in range(3)]
+    return tuple(out)
+
+
+def _m3_mul(A, B):
+    """Component-wise 3x3 product of row-major 9-tuples of arrays."""
+    out = []
+    for r in range(3):
+        for c in range(3):
+            out.append(A[3 * r] * B[c] + A[3 * r + 1] * B[3 + c]
+                       + A[3 * r + 2] * B[6 + c])
+    return out
+
+
+def _sym3_inv_comps(h):
+    """Inverse of symmetric 3x3 given as (xx, xy, xz, yy, yz, zz)
+    component arrays; returns the row-major 9-tuple.  Adjugate/det plus
+    two Newton refinements (same accuracy contract as _inv3x3)."""
+    a, b, c, e, f, i = h
+    A11 = e * i - f * f
+    A12 = c * f - b * i
+    A13 = b * f - c * e
+    A22 = a * i - c * c
+    A23 = c * b - a * f
+    A33 = a * e - b * b
+    det = a * A11 + b * A12 + c * A13
+    inv_det = 1.0 / det
+    X = [A11 * inv_det, A12 * inv_det, A13 * inv_det,
+         A12 * inv_det, A22 * inv_det, A23 * inv_det,
+         A13 * inv_det, A23 * inv_det, A33 * inv_det]
+    A9 = [a, b, c, b, e, f, c, f, i]
+    for _ in range(2):
+        AX = _m3_mul(A9, X)
+        Y = [2.0 - AX[0], -AX[1], -AX[2],
+             -AX[3], 2.0 - AX[4], -AX[5],
+             -AX[6], -AX[7], 2.0 - AX[8]]
+        X = _m3_mul(X, Y)
+    return tuple(X)
+
+
 def _huber_weight(r: jnp.ndarray, delta: float) -> jnp.ndarray:
     nrm = jnp.linalg.norm(r) + 1e-12
     return jnp.minimum(1.0, delta / nrm)
@@ -277,12 +328,24 @@ def ba_blocks(
     points: jnp.ndarray,
     num_cameras: int,
     huber_delta: float = 2.0,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Assemble GN blocks.
+) -> Tuple[jnp.ndarray, jnp.ndarray, tuple, tuple, jnp.ndarray, jnp.ndarray]:
+    """Assemble GN blocks, SoA throughout.
 
-    Returns (S_partial (6C, 6C), b_c (6C,), Hpp (M, 3, 3), b_p (M, 3),
-             Hcp (M, O, 6, 3) premultiplied terms, cost (scalar)).
+    Returns (S_partial (6C, 6C), b_c (6C,),
+             hpp_reg (6-tuple of (M,) upper-tri components, Tikhonov
+             regularized), b_p (3-tuple of (M,) components),
+             W_t (18, C, M) couplings with e = 6*i_pose + j_point ...
+             laid out (i, j)-major, and cost (scalar)).
     The caller psums S_partial / b_c / cost across point shards.
+
+    Layout rationale (measured, tools/profile_ba{2,3}.py): any big
+    intermediate with tiny trailing dims — (M, 3, 3), (N, 2, 6),
+    (M, C, 6, 3) — pads those dims to full (8, 128) vector tiles when
+    XLA materializes it, inflating HBM traffic 7-43x; the r4 mid-round
+    assembly spent ~25 of its 31 ms there.  Component arrays keep every
+    tensor either (N,)/(M,)-shaped, (36|18|6, N)-shaped (row-major
+    stacks feeding MXU one-hot reductions), or (6C, M)-shaped for the
+    Schur matmuls.
     """
     C = num_cameras
     M, O = problem.obs_cam.shape
@@ -297,46 +360,67 @@ def ba_blocks(
     oh, K_o, Rt_o, pose_o = _gather_obs_params(problem, poses, cam, C)
     X_o = jnp.broadcast_to(points[:, None, :], (M, O, 3)).reshape(N, 3)
 
-    r, Jc, Jp = jax.vmap(_obs_jacobians)(K_o, Rt_o, pose_o, X_o, uv)
-    w = jax.vmap(_huber_weight, in_axes=(0, None))(r, huber_delta) * ok
-    r = r * w[:, None]
-    Jc = Jc * w[:, None, None]
-    Jp = Jp * w[:, None, None]
+    vals = jax.vmap(_obs_jac_scalars)(K_o, Rt_o, pose_o, X_o, uv)
+    r = [vals[0], vals[1]]
+    Jc = [[vals[2 + a * 6 + i] for i in range(6)] for a in range(2)]
+    Jp = [[vals[14 + a * 3 + j] for j in range(3)] for a in range(2)]
+    nrm = jnp.sqrt(r[0] * r[0] + r[1] * r[1]) + 1e-12
+    w = jnp.minimum(1.0, huber_delta / nrm) * ok
+    r = [x * w for x in r]
+    Jc = [[x * w for x in row] for row in Jc]
+    Jp = [[x * w for x in row] for row in Jp]
 
-    cost = 0.5 * jnp.sum(r ** 2)
+    cost = 0.5 * (jnp.sum(r[0] ** 2) + jnp.sum(r[1] ** 2))
 
-    # Point blocks: batched (O*2, 3)^T (O*2, 3) matmuls.
-    Jp_m = Jp.reshape(M, O * 2, 3)
-    r_m = r.reshape(M, O * 2)
-    Hpp = jnp.einsum("mai,maj->mij", Jp_m, Jp_m)             # (M, 3, 3)
-    b_p = -jnp.einsum("mai,ma->mi", Jp_m, r_m)               # (M, 3)
-
-    # Camera blocks: per-obs 6x6/6-vec products reduced per camera by a
-    # single (C, N) @ (N, 36|6) one-hot matmul — no segment gathers.
-    Gcc = jnp.einsum("nki,nkj->nij", Jc, Jc).reshape(N, 36)
-    Hcc = (oh.T @ Gcc).reshape(C, 6, 6)
-    gc = jnp.einsum("nki,nk->ni", Jc, r)                     # (N, 6)
-    b_c = -(oh.T @ gc).reshape(C, 6)
-
-    # Couplings per observation, then per-point per-camera stacking as a
-    # batched (C, O) @ (O, 18) matmul.
-    Hcp = jnp.einsum("nki,nkj->nij", Jc, Jp).reshape(M, O, 18)
-    oh_m = oh.reshape(M, O, C)
-    W = jnp.einsum("moc,moe->mce", oh_m, Hcp).reshape(M, C, 6, 3)
-
-    # Schur reduction: S = Hcc_block_diag - sum_m W_m Hpp_m^-1 W_m^T.
-    # Closed-form 3x3 inverses; the big contraction is ONE
-    # (6C, 3M) @ (3M, 6C) MXU matmul.
+    # Point blocks: per-point reduces of (N,) component products.
+    po = lambda x: x.reshape(M, O).sum(axis=1)
     lam = 1e-6
-    Hpp_reg = Hpp + lam * jnp.eye(3)
-    Hpp_inv = _inv3x3(Hpp_reg)
-    WHinv = jnp.einsum("mcij,mjk->mcik", W, Hpp_inv)         # (M, C, 6, 3)
-    A = WHinv.transpose(0, 3, 1, 2).reshape(M * 3, C * 6)
-    B = W.transpose(0, 3, 1, 2).reshape(M * 3, C * 6)
-    S = _blockdiag(Hcc) - A.T @ B
-    b_red = jnp.einsum("mcik,mk->ci", WHinv, b_p)            # (C, 6)
-    b = (b_c - b_red).reshape(C * 6)
-    return S, b, Hpp_reg, b_p, W, cost
+    hpp = []
+    for (i, j) in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)):
+        comp = po(Jp[0][i] * Jp[0][j] + Jp[1][i] * Jp[1][j])
+        hpp.append(comp + lam if i == j else comp)
+    hpp = tuple(hpp)
+    b_p = tuple(-po(Jp[0][j] * r[0] + Jp[1][j] * r[1]) for j in range(3))
+
+    # Camera blocks: (36|6, N) row stacks reduced by ONE one-hot matmul.
+    Gt = jnp.stack([Jc[0][i] * Jc[0][j] + Jc[1][i] * Jc[1][j]
+                    for i in range(6) for j in range(6)])     # (36, N)
+    Hcc = (Gt @ oh).reshape(6, 6, C).transpose(2, 0, 1)       # (C, 6, 6)
+    gct = jnp.stack([Jc[0][i] * r[0] + Jc[1][i] * r[1]
+                     for i in range(6)])                      # (6, N)
+    b_c = -(gct @ oh).T                                       # (C, 6)
+
+    # Couplings: He (18, M, O); per-point per-camera stack via a fused
+    # masked reduce against the one-hot rearranged (C, M, O).
+    He = jnp.stack([(Jc[0][i] * Jp[0][j]
+                     + Jc[1][i] * Jp[1][j]).reshape(M, O)
+                    for i in range(6) for j in range(3)])     # (18, M, O)
+    oh_t = oh.T.reshape(C, M, O)
+    W_t = (He[:, None] * oh_t[None]).sum(-1)                  # (18, C, M)
+
+    # Schur reduction: S = blockdiag(Hcc) - sum_k Xk Yk^T with
+    # (c, i)-major (6C, M) slabs — three clean MXU matmuls.
+    Hinv = _sym3_inv_comps(hpp)                               # 9 x (M,)
+    WH_rows = []
+    for i in range(6):
+        for k in range(3):
+            acc = W_t[i * 3 + 0] * Hinv[0 + k][None, :]
+            for j in range(1, 3):
+                acc = acc + W_t[i * 3 + j] * Hinv[3 * j + k][None, :]
+            WH_rows.append(acc)
+    WH_t = jnp.stack(WH_rows)                                 # (18, C, M)
+
+    S_red = jnp.zeros((C * 6, C * 6), W_t.dtype)
+    b_red = jnp.zeros((C * 6,), W_t.dtype)
+    for k in range(3):
+        sel = [i * 3 + k for i in range(6)]
+        Xk = WH_t[np.asarray(sel)].transpose(1, 0, 2).reshape(C * 6, M)
+        Yk = W_t[np.asarray(sel)].transpose(1, 0, 2).reshape(C * 6, M)
+        S_red = S_red + Xk @ Yk.T
+        b_red = b_red + Xk @ b_p[k]
+    S = _blockdiag(Hcc) - S_red
+    b = b_c.reshape(C * 6) - b_red
+    return S, b, hpp, b_p, W_t, cost
 
 
 def _blockdiag(blocks: jnp.ndarray) -> jnp.ndarray:
@@ -370,10 +454,15 @@ def ba_step(
     carries a metric anchor (known baseline / fix_cameras).
     """
     C = num_cameras
-    S, b, Hpp, b_p, W, cost = ba_blocks(problem, poses, points, C,
-                                        huber_delta)
+    S, b, hpp, b_p, W_t, cost = ba_blocks(problem, poses, points, C,
+                                          huber_delta)
     if fix_cameras:
-        dp = _solve3x3(Hpp + damping * jnp.eye(3), b_p)
+        hd = tuple(h + (damping if i in (0, 3, 5) else 0.0)
+                   for i, h in enumerate(hpp))
+        Hinv = _sym3_inv_comps(hd)
+        dp = jnp.stack([Hinv[3 * i + 0] * b_p[0] + Hinv[3 * i + 1] * b_p[1]
+                        + Hinv[3 * i + 2] * b_p[2] for i in range(3)],
+                       axis=1)
         return poses, points + dp, cost
     S = S + damping * jnp.eye(C * 6)
     if fix_gauge:
@@ -384,9 +473,16 @@ def ba_step(
         b = jnp.where(mask, b, 0.0)
     dc = jnp.linalg.solve(S, b).reshape(C, 6)
 
-    # Back-substitute points: Hpp dp = b_p - W^T dc(summed over cams)
-    Wt_dc = jnp.einsum("mcik,ci->mk", W, dc)
-    dp = _solve3x3(Hpp, b_p - Wt_dc)
+    # Back-substitute points: Hpp dp = b_p - W^T dc (summed over cams),
+    # all in component form (W_t is (18, C, M), e = 3*i_pose + j_point).
+    rhs = []
+    for k in range(3):
+        Wk = W_t[np.asarray([i * 3 + k for i in range(6)])]           # (6, C, M)
+        rhs.append(b_p[k] - (Wk * dc.T[:, :, None]).sum((0, 1)))
+    Hinv = _sym3_inv_comps(hpp)
+    dp = jnp.stack([Hinv[3 * i + 0] * rhs[0] + Hinv[3 * i + 1] * rhs[1]
+                    + Hinv[3 * i + 2] * rhs[2] for i in range(3)],
+                   axis=1)
     return poses + dc, points + dp, cost
 
 

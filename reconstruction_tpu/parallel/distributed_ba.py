@@ -14,6 +14,7 @@ from functools import partial
 from typing import Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
@@ -42,8 +43,9 @@ def ba_step_sharded(
     axis = "pair"
 
     def local(prob_shard: BAProblem, poses_rep, points_shard):
-        S, b, Hpp, b_p, W, cost = ba_blocks(prob_shard, poses_rep,
-                                            points_shard, C, huber_delta)
+        from reconstruction_tpu.ba.bundle_adjust import _sym3_inv_comps
+        S, b, hpp, b_p, W_t, cost = ba_blocks(prob_shard, poses_rep,
+                                              points_shard, C, huber_delta)
         S = jax.lax.psum(S, axis)
         b = jax.lax.psum(b, axis)
         cost = jax.lax.psum(cost, axis)
@@ -54,8 +56,15 @@ def ba_step_sharded(
             S = S + jnp.diag(jnp.where(mask, 0.0, 1.0))
             b = jnp.where(mask, b, 0.0)
         dc = jnp.linalg.solve(S, b).reshape(C, 6)
-        Wt_dc = jnp.einsum("mcik,ci->mk", W, dc)
-        dp = jnp.linalg.solve(Hpp, (b_p - Wt_dc)[..., None])[..., 0]
+        # shard-local back-substitution in component form (see ba_step)
+        rhs = []
+        for k in range(3):
+            Wk = W_t[np.asarray([i * 3 + k for i in range(6)])]       # (6, C, Mloc)
+            rhs.append(b_p[k] - (Wk * dc.T[:, :, None]).sum((0, 1)))
+        Hinv = _sym3_inv_comps(hpp)
+        dp = jnp.stack([Hinv[3 * i] * rhs[0] + Hinv[3 * i + 1] * rhs[1]
+                        + Hinv[3 * i + 2] * rhs[2] for i in range(3)],
+                       axis=1)
         return poses_rep + dc, points_shard + dp, cost
 
     shard = P(axis)

@@ -124,9 +124,21 @@ def poisson_cost(resolution: int) -> KernelCost:
 
 
 def schur_cost(num_points: int, obs_per_point: int, num_cameras: int) -> KernelCost:
-    """BA Schur assembly + reduction (ba/bundle_adjust.py)."""
+    """BA Schur assembly + reduction (ba/bundle_adjust.py, SoA form).
+
+    FLOPs: ~250/obs analytic Jacobians + ~160/obs block products, plus
+    the per-point W/WHinv/Schur contractions.  Bytes: the r4 SoA
+    implementation's named streams — 20 component arrays w+r plus the
+    54-row stacks per obs, the (18, C, M) coupling reduce that re-reads
+    the 18 He rows per camera (the dominant term, x C), and the three
+    (6C, M) Schur matmul operand sets.
+    """
     m, o, c = num_points, obs_per_point, num_cameras
-    per_obs = 2 * 6 * 3 * 4 + 500  # jacobian products + autodiff overhead
+    n = m * o
+    per_obs = 250 + 160
     red = m * (c * 6 * 3 * 3 + c * c * 36 * 3)
-    return KernelCost(flops=float(m * o * per_obs + red),
-                      hbm_bytes=float(m * o * 100 * 4))
+    bytes_obs = n * (40 + 54) * 4          # component + stack streams
+    bytes_w = n * 18 * 4 * c * 2           # He x one-hot fused reduce
+    bytes_s = 6 * (c * 6) * m * 4          # Schur matmul operands
+    return KernelCost(flops=float(n * per_obs + red),
+                      hbm_bytes=float(bytes_obs + bytes_w + bytes_s))

@@ -69,10 +69,10 @@ def main():
     # blocks only (assembly + Schur reduction, no solves)
     def blocks_only(carry):
         poses, points = carry
-        S, b, Hpp, b_p, W, cost = ba_blocks(prob, poses, points, C)
+        S, b, hpp, b_p, W_t, cost = ba_blocks(prob, poses, points, C)
         # fold outputs back so the chain carries a data dependency
         return (poses + b.reshape(C, 6) * 1e-12,
-                points + b_p * 1e-12 + S[0, 0] * 1e-12 + W[0, 0, 0, 0] * 1e-12)
+                points + (b_p[0] + S[0, 0] + W_t[0, 0, 0])[..., None] * 1e-12)
 
     chain("ba_blocks_only", blocks_only)
 
@@ -80,6 +80,7 @@ def main():
     S0, b0, Hpp0, bp0, W0, _ = jax.jit(
         lambda: ba_blocks(prob, poses0, prob.points0, C))()
     S0 = S0 + 1e-3 * jnp.eye(C * 6)
+    bp0_arr = jnp.stack(bp0, axis=1)
 
     def solve_only(carry):
         poses, points = carry
@@ -89,12 +90,17 @@ def main():
     chain("solve_96_only", solve_only)
 
     # back-substitution (einsum + 3x3 solves) alone
-    from reconstruction_tpu.ba.bundle_adjust import _solve3x3
 
     def backsub_only(carry):
         poses, points = carry
-        Wt_dc = jnp.einsum("mcik,ci->mk", W0, poses)
-        dp = _solve3x3(Hpp0, bp0 - Wt_dc)
+        from reconstruction_tpu.ba.bundle_adjust import _sym3_inv_comps
+        rhs = []
+        for k in range(3):
+            Wk = W0[np.asarray([i * 3 + k for i in range(6)])]
+            rhs.append(bp0[k] - (Wk * poses.T[:, :, None]).sum((0, 1)))
+        Hinv = _sym3_inv_comps(Hpp0)
+        dp = jnp.stack([Hinv[3 * i] * rhs[0] + Hinv[3 * i + 1] * rhs[1]
+                        + Hinv[3 * i + 2] * rhs[2] for i in range(3)], axis=1)
         return (poses, points + dp * 1e-12)
 
     chain("backsub_only", backsub_only)
