@@ -419,9 +419,18 @@ def reconstruct(
         # so f16's precision lands where the isosurface interpolates;
         # the residual vertex shift is ~1e-3 voxel, well under the
         # surface RMSE floor.  Density only feeds the trim quantile.
+        # Density ships 2x-downsampled (mean-pool): it only feeds the
+        # trim quantile gate, and its full-res f16 grid was half the
+        # poisson fetch payload (33 MB -> 4 MB; the relay's rate swings
+        # 8-20 MB/s between sessions, r4 captures).
+        d = pres.density
+        dens_small = (
+            d[::2, ::2, ::2] + d[1::2, ::2, ::2] + d[::2, 1::2, ::2]
+            + d[::2, ::2, 1::2] + d[1::2, 1::2, ::2] + d[1::2, ::2, 1::2]
+            + d[::2, 1::2, 1::2] + d[1::2, 1::2, 1::2]) * 0.125
         chi_h, dens_h, origin_h, spacing_h = fetch_packed([
             (pres.chi - pres.iso).astype(jnp.float16),
-            pres.density.astype(jnp.float16),
+            dens_small.astype(jnp.float16),
             pres.origin, pres.spacing])
         chi_h = chi_h.astype(np.float32)
         dens_h = dens_h.astype(np.float32)
@@ -432,7 +441,9 @@ def reconstruct(
     stats.add("poisson", verts=len(verts), faces=len(faces))
 
     with timer.span("mesh_cleanup"):
-        vg = (verts - origin_h) / spacing_h
+        # half-res density grid: coarse cell (i) covers fine cells
+        # (2i, 2i+1), so fine coord x maps to coarse x/2 - 0.25.
+        vg = ((verts - origin_h) / spacing_h) * 0.5 - 0.25
         dens = vertex_density(dens_h, vg)
         verts, faces = density_trim(verts, faces, dens,
                                     quantile=cfg.surface.trim_quantile,
