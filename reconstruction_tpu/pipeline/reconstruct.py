@@ -428,11 +428,19 @@ def reconstruct(
             d[::2, ::2, ::2] + d[1::2, ::2, ::2] + d[::2, 1::2, ::2]
             + d[::2, ::2, 1::2] + d[1::2, 1::2, ::2] + d[1::2, ::2, 1::2]
             + d[::2, 1::2, 1::2] + d[1::2, 1::2, 1::2]) * 0.125
-        chi_h, dens_h, origin_h, spacing_h = fetch_packed([
-            (pres.chi - pres.iso).astype(jnp.float16),
-            dens_small.astype(jnp.float16),
+        # chi ships iso-centered int16, clipped at ~4 per-cell jumps:
+        # marching only interpolates the zero-crossing cells (|chi-iso|
+        # <= ~1 jump there), so saturating the far field keeps sign
+        # while the quantization step stays ~1e-4 of a cell jump.
+        chi_c = pres.chi - pres.iso
+        jump = jnp.mean(jnp.abs(chi_c[1:] - chi_c[:-1]))
+        A = jnp.maximum(4.0 * jump, 1e-12)
+        chi_q = jnp.clip(jnp.round(chi_c * (32000.0 / A)),
+                         -32000, 32000).astype(jnp.int16)
+        chi_h, A_h, dens_h, origin_h, spacing_h = fetch_packed([
+            chi_q, A, dens_small.astype(jnp.float16),
             pres.origin, pres.spacing])
-        chi_h = chi_h.astype(np.float32)
+        chi_h = chi_h.astype(np.float32) * (float(A_h) / 32000.0)
         dens_h = dens_h.astype(np.float32)
         spacing_h = float(spacing_h)
     with timer.span("marching"):
