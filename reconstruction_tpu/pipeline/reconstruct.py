@@ -433,8 +433,14 @@ def reconstruct(
         # <= ~1 jump there), so saturating the far field keeps sign
         # while the quantization step stays ~1e-4 of a cell jump.
         chi_c = pres.chi - pres.iso
-        jump = jnp.mean(jnp.abs(chi_c[1:] - chi_c[:-1]))
-        A = jnp.maximum(4.0 * jump, 1e-12)
+        # Clip scale from the MAX per-cell jump: gradients concentrate
+        # at the surface, so a mean jump underestimates the crossing
+        # cells' values and clips them (one capture measured RMSE
+        # 0.00755 -> 0.00818 with the mean).  max keeps every crossing
+        # cell un-clipped; the step is still ~2.5e-4 of the steepest
+        # jump.
+        jump = jnp.max(jnp.abs(chi_c[1:] - chi_c[:-1]))
+        A = jnp.maximum(8.0 * jump, 1e-12)
         chi_q = jnp.clip(jnp.round(chi_c * (32000.0 / A)),
                          -32000, 32000).astype(jnp.int16)
         chi_h, A_h, dens_h, origin_h, spacing_h = fetch_packed([
