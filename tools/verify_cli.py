@@ -24,7 +24,7 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 
 
-def main(workdir: str) -> int:
+def main(workdir: str, sharded: bool = False) -> int:
     sys.path.insert(0, os.path.join(os.path.dirname(workdir) or ".",))
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, os.path.join(repo, "tests"))
@@ -63,7 +63,10 @@ def main(workdir: str) -> int:
     })
 
     from reconstruction_tpu.__main__ import main as cli_main
-    rc = cli_main(["prog", os.path.join(workdir, "config.yml")])
+    args = ["prog", os.path.join(workdir, "config.yml")]
+    if sharded:
+        args.append("--sharded")
+    rc = cli_main(args)
     if rc not in (0, None):
         print(f"[verify_cli] CLI returned {rc}")
         return 1
@@ -77,4 +80,4 @@ def main(workdir: str) -> int:
 
 if __name__ == "__main__":
     wd = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_cli_scene"
-    sys.exit(main(wd))
+    sys.exit(main(wd, sharded="--sharded" in sys.argv))
