@@ -57,3 +57,42 @@ def test_cloud_covers_surface(pair_result):
     span_x = np.ptp(xy[sel][:, 0])
     span_y = np.ptp(xy[sel][:, 1])
     assert span_x > 1.5 and span_y > 1.5
+
+
+def test_disp_quantizer_roundtrip():
+    """Range-adaptive int16 disparity encoding (the per-pair fetch
+    payload): NOMATCH survives exactly, values roundtrip within the
+    |d|max/32000 step, including large-disparity captures."""
+    import jax.numpy as jnp
+    from reconstruction_tpu.config import NOMATCH
+    from reconstruction_tpu.stereo.pipeline import _quantize_disp
+    rng = np.random.default_rng(0)
+    for dmax_true in (3.0, 65.0, 900.0):
+        d = rng.uniform(-dmax_true, dmax_true, (64, 96)).astype(np.float32)
+        d[rng.uniform(size=d.shape) < 0.3] = NOMATCH
+        q, dmax = _quantize_disp(jnp.asarray(d))
+        q = np.asarray(q)
+        dec = np.where(q == -32768, np.float32(NOMATCH),
+                       q.astype(np.float32) * (float(dmax) / 32000.0))
+        nm = d == NOMATCH
+        np.testing.assert_array_equal(dec == NOMATCH, nm)
+        step = float(dmax) / 32000.0
+        assert np.abs(dec[~nm] - d[~nm]).max() <= 0.51 * step + 1e-7
+    # all-NOMATCH map: dmax floors at 1, everything stays NOMATCH
+    d = np.full((8, 8), NOMATCH, np.float32)
+    q, dmax = _quantize_disp(jnp.asarray(d))
+    assert float(dmax) == 1.0
+    assert (np.asarray(q) == -32768).all()
+
+
+def test_fetch_packed_casts():
+    """fetch_packed's in-packer u8 casts match the eager to_u8."""
+    import jax.numpy as jnp
+    from reconstruction_tpu.utils.transfer import fetch_packed
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.uniform(-5, 300, (17, 9)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(5,)).astype(np.float32))
+    out_a, out_b = fetch_packed([a, b], casts=["u8", None])
+    want = np.clip(np.asarray(a), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(out_a, want)
+    np.testing.assert_allclose(out_b, np.asarray(b))
