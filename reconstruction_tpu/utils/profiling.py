@@ -29,6 +29,13 @@ CHIP_PEAKS = {
     "v6e": {"flops_f32": 459e12, "flops_bf16": 918e12, "hbm_gbps": 1640e9},
 }
 
+# VPU (vector unit) elementwise-op peaks: the (8, 128)-lane vector core
+# at ~4 ALU slots/cycle (public architecture description in the TPU
+# scaling book); select/compare-heavy kernels never touch the MXU, so
+# judging them against flops_f32 misclassifies them as "hbm"-bound.
+VPU_PEAKS = {"v3": 3.3e12, "v4": 4.3e12, "v5e": 3.9e12,
+             "v5p": 7.4e12, "v6e": 7.4e12}
+
 
 def resolve_chip(device=None) -> Tuple[str, str]:
     """Map the live device's identity onto a CHIP_PEAKS entry.
@@ -62,17 +69,27 @@ def trace(path: str) -> Iterator[None]:
 class KernelCost:
     flops: float
     hbm_bytes: float
+    # which unit executes the FLOPs: "mxu" (matmul-shaped work judged
+    # against flops_f32) or "vpu" (elementwise/select work judged
+    # against the vector-unit peak)
+    compute_unit: str = "mxu"
 
     def utilization(self, seconds: float, chip: str = "v5e") -> Dict[str, float]:
         peaks = CHIP_PEAKS[chip]
-        return {
+        fpeak = (VPU_PEAKS[chip] if self.compute_unit == "vpu"
+                 else peaks["flops_f32"])
+        out = {
             "gflops_per_s": self.flops / seconds / 1e9,
-            "flops_util": self.flops / seconds / peaks["flops_f32"],
+            "flops_util": self.flops / seconds / fpeak,
             "hbm_gbps": self.hbm_bytes / seconds / 1e9,
             "hbm_util": self.hbm_bytes / seconds / peaks["hbm_gbps"],
             "bound": ("hbm" if self.hbm_bytes / peaks["hbm_gbps"]
-                      > self.flops / peaks["flops_f32"] else "flops"),
+                      > self.flops / fpeak
+                      else self.compute_unit),
         }
+        if self.compute_unit == "vpu":
+            out["compute_unit"] = "vpu"
+        return out
 
 
 def ncc_sweep_cost(H: int, W: int, C: int, radius: int,
@@ -100,18 +117,35 @@ def ncc_sweep_cost(H: int, W: int, C: int, radius: int,
     per_px = (2 * C - 1) + 4 * radius + 10
     flops = float(H * W * per_px * num_shifts)
     unique_bytes = H * W * (8.0 * C + 37.0)
-    return KernelCost(flops=flops, hbm_bytes=unique_bytes)
+    # box sums / selects / compares never touch the MXU
+    return KernelCost(flops=flops, hbm_bytes=unique_bytes,
+                      compute_unit="vpu")
 
 
 def refine_cost(H: int, W: int, iterations: int, s_cap: int,
-                build_shifts: int) -> KernelCost:
-    """Cost of the banded-cost-volume refinement (stereo/refine.py)."""
+                build_shifts: int, T: int = 6,
+                block: int = 24) -> KernelCost:
+    """Cost of the temporally-blocked Pallas refinement
+    (ops/refine_pallas.py, the production TPU path).
+
+    HBM: the (MINI + 3)-plane halo'd row slabs stream once per T-sweep
+    segment (duplication (block+2T)/block) plus the block writes; the
+    per-iteration work is VMEM-resident.  FLOPs: ~230 VPU ops/px/sweep
+    (the 34-compare/102-select window taps + parabola/blend math +
+    exps) on the duplicated rows.  compute_unit "vpu": the r4 tuner
+    showed runtime is insensitive to T (deeper temporal blocking buys
+    nothing), i.e. the kernel is bound by the select/compute stream,
+    not the per-segment HBM re-read.
+    """
     build = ncc_sweep_cost(H, W, 3, 1, build_shifts)
-    per_iter_flops = H * W * 60.0
-    per_iter_bytes = H * W * 4.0 * 8
+    dup = (block + 2.0 * T) / block
+    segments = -(-iterations // T)
+    per_seg_bytes = H * W * dup * 4.0 * (32 + 3) + H * W * 4.0
+    per_iter_flops = H * W * dup * 230.0
     return KernelCost(
         flops=build.flops + per_iter_flops * iterations,
-        hbm_bytes=build.hbm_bytes + per_iter_bytes * iterations,
+        hbm_bytes=build.hbm_bytes + per_seg_bytes * segments,
+        compute_unit="vpu",
     )
 
 

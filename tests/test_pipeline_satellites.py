@@ -178,7 +178,7 @@ def test_roofline_model():
     c = ncc_sweep_cost(1920, 1280, 3, 2, 300)
     u = c.utilization(1.0, "v5e")
     assert u["gflops_per_s"] > 0
-    assert u["bound"] in ("hbm", "flops")
+    assert u["bound"] in ("hbm", "flops", "vpu", "mxu")
     # Unique-byte model: at the r3-measured on-chip time (6.8 ms for 64
     # shifts at the bench shape) utilization must be <= 1 by
     # construction (VERDICT r3 weak #5 — the old per-shift stream model
