@@ -315,7 +315,12 @@ def _gather_obs_params(problem: BAProblem, poses: jnp.ndarray,
     pack = jnp.concatenate([problem.K.reshape(C, 9),
                             problem.Rt0.reshape(C, 12),
                             poses], axis=1)                      # (C, 27)
-    obs = oh @ pack                                              # MXU
+    # Precision HIGHEST: at the TPU default the f32 dot takes bf16
+    # operand passes, quantizing K/poses to ~8-bit mantissa BEFORE the
+    # one-hot select (fx~1000 rounds in steps of ~4) — the "exact for
+    # one-hot rows" claim only holds at full precision.  The matmul is
+    # tiny ((N, C) @ (C, 27)) so the extra passes are free.
+    obs = jnp.matmul(oh, pack, precision=jax.lax.Precision.HIGHEST)
     N = cam_flat.shape[0]
     return (oh, obs[:, :9].reshape(N, 3, 3),
             obs[:, 9:21].reshape(N, 3, 4), obs[:, 21:27])
@@ -383,20 +388,30 @@ def ba_blocks(
     b_p = tuple(-po(Jp[0][j] * r[0] + Jp[1][j] * r[1]) for j in range(3))
 
     # Camera blocks: (36|6, N) row stacks reduced by ONE one-hot matmul.
+    # HIGHEST precision: the products feeding these Hessian reductions
+    # would otherwise be rounded to bf16 operands; output is tiny
+    # ((36|6) x C) so the extra MXU passes cost nothing.
+    hi = jax.lax.Precision.HIGHEST
     Gt = jnp.stack([Jc[0][i] * Jc[0][j] + Jc[1][i] * Jc[1][j]
                     for i in range(6) for j in range(6)])     # (36, N)
-    Hcc = (Gt @ oh).reshape(6, 6, C).transpose(2, 0, 1)       # (C, 6, 6)
+    Hcc = jnp.matmul(Gt, oh, precision=hi).reshape(6, 6, C).transpose(2, 0, 1)
     gct = jnp.stack([Jc[0][i] * r[0] + Jc[1][i] * r[1]
                      for i in range(6)])                      # (6, N)
-    b_c = -(gct @ oh).T                                       # (C, 6)
+    b_c = -jnp.matmul(gct, oh, precision=hi).T                # (C, 6)
 
-    # Couplings: He (18, M, O); per-point per-camera stack via a fused
-    # masked reduce against the one-hot rearranged (C, M, O).
-    He = jnp.stack([(Jc[0][i] * Jp[0][j]
-                     + Jc[1][i] * Jp[1][j]).reshape(M, O)
-                    for i in range(6) for j in range(3)])     # (18, M, O)
+    # Couplings W_t[e, c, m] = sum_o He[e, m, o] [cam[m, o] == c],
+    # accumulated over the (unrolled, O<=8) observation axis so each He
+    # component slice streams ONCE.  The r4 broadcast-reduce
+    # ((He[:, None] * oh_t[None]).sum(-1) over (18, C, M, O)) re-read
+    # the He rows per camera — ~1.2 GB at 16 cams / 64k pts, the
+    # kernel's dominant remaining traffic (BENCH_NOTES r4 final state).
     oh_t = oh.T.reshape(C, M, O)
-    W_t = (He[:, None] * oh_t[None]).sum(-1)                  # (18, C, M)
+    He_mo = [(Jc[0][i] * Jp[0][j] + Jc[1][i] * Jp[1][j]).reshape(M, O)
+             for i in range(6) for j in range(3)]             # 18 x (M, O)
+    W_t = jnp.zeros((18, C, M), poses.dtype)
+    for o in range(O):
+        He_o = jnp.stack([h[:, o] for h in He_mo])            # (18, M)
+        W_t = W_t + He_o[:, None, :] * oh_t[None, :, :, o]    # (18, C, M)
 
     # Schur reduction: S = blockdiag(Hcc) - sum_k Xk Yk^T with
     # (c, i)-major (6C, M) slabs — three clean MXU matmuls.
@@ -416,8 +431,8 @@ def ba_blocks(
         sel = [i * 3 + k for i in range(6)]
         Xk = WH_t[np.asarray(sel)].transpose(1, 0, 2).reshape(C * 6, M)
         Yk = W_t[np.asarray(sel)].transpose(1, 0, 2).reshape(C * 6, M)
-        S_red = S_red + Xk @ Yk.T
-        b_red = b_red + Xk @ b_p[k]
+        S_red = S_red + jnp.matmul(Xk, Yk.T, precision=hi)
+        b_red = b_red + jnp.matmul(Xk, b_p[k], precision=hi)
     S = _blockdiag(Hcc) - S_red
     b = b_c.reshape(C * 6) - b_red
     return S, b, hpp, b_p, W_t, cost

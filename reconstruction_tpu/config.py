@@ -156,6 +156,18 @@ class SurfaceParams:
     # halves per doubling, so the cap is now explicit config).
     pair_grid_resolution: int = 0
 
+    def __post_init__(self):
+        # The density-grid 2x mean-pool in the packed Poisson fetch
+        # slices [::2]/[1::2] along every axis, so odd resolutions
+        # would crash deep in the pipeline with a broadcast mismatch
+        # (ADVICE r4) — fail here with a readable message instead.
+        for name in ("grid_resolution", "pair_grid_resolution"):
+            v = getattr(self, name)
+            if v % 2 != 0:
+                raise ValueError(
+                    f"SurfaceParams.{name}={v} must be even (the "
+                    "density grid is 2x mean-pooled for transfer)")
+
 
 @dataclass(frozen=True)
 class BAParams:
@@ -203,6 +215,13 @@ class ReconstructionConfig:
     # Stereo pair table: rows of (left camID, right camID)
     # (`BatchProcess/main.cpp:30-35`).
     cam_pairs: Tuple[Tuple[int, int], ...] = ((0, 1), (2, 3), (4, 5), (7, 6))
+
+    # Max camera pairs with device work in flight ahead of the fetch
+    # pointer (pyramids + level state are ~0.4 GB/pair on device; deep
+    # dispatch overlaps transfer with the NEXT pairs' compute, but an
+    # unbounded queue would OOM past ~30-40 pairs on a 16 GB chip).
+    # 0 = unbounded (the r4 behavior).
+    dispatch_depth: int = 4
 
     stereo: StereoParams = field(default_factory=StereoParams)
     cloud: CloudParams = field(default_factory=CloudParams)
