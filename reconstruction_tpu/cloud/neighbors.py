@@ -289,7 +289,7 @@ def build_dense_grid(
 
 @partial(jax.jit, static_argnames=("dims", "fn", "per_cell", "chunk",
                                    "exclude_self"))
-def neighbor_map_dense(
+def _neighbor_map_dense_program(
     grid: DenseGrid,
     queries: jnp.ndarray,
     q_valid: jnp.ndarray,
@@ -299,10 +299,16 @@ def neighbor_map_dense(
     per_cell: int = 8,
     chunk: int = 4096,
     exclude_self: bool = False,
+    q_index0: jnp.ndarray | int = 0,
 ):
     """Dense-grid streaming neighbor reduce — same contract as
     `neighbor_map` (fn gets (q, cand, cpts, d2, ok) per chunk), with
-    O(1) cell-start lookup and contiguous candidate slices."""
+    O(1) cell-start lookup and contiguous candidate slices.
+
+    q_index0: GLOBAL index of queries[0] — candidate indices are global,
+    so exclude_self must compare against global query ids when the
+    caller splits the stream across programs (traced scalar: the
+    split slices share one compile)."""
     M = queries.shape[0]
     G = dims[0] * dims[1] * dims[2]
     K = 27 * per_cell
@@ -317,7 +323,8 @@ def neighbor_map_dense(
     Mp = nq * chunk
     qp = jnp.pad(queries.astype(jnp.float32), ((0, Mp - M), (0, 0)))
     vp = jnp.pad(q_valid, (0, Mp - M))
-    qidx = jnp.pad(jnp.arange(M, dtype=jnp.int32), (0, Mp - M))
+    qidx = (jnp.pad(jnp.arange(M, dtype=jnp.int32), (0, Mp - M))
+            + jnp.asarray(q_index0, jnp.int32))
     jj = jnp.arange(per_cell, dtype=jnp.int32)
 
     def chunk_fn(args):
@@ -356,3 +363,53 @@ def neighbor_map_dense(
     out = jax.lax.map(chunk_fn, blocks)
     return jax.tree_util.tree_map(
         lambda a: a.reshape(Mp, *a.shape[2:])[:M], out)
+
+
+def _max_queries_per_program() -> int:
+    """Crash-shape guard for the tunneled relay: r4 observed the worker
+    hard-crash size-dependently on neighbor-map programs (100k/400k
+    queries green, 830k crashes — tools/repro_cloud_small.py; identical
+    code ran green in r3, so the relay/libtpu stack is suspect).  Until
+    the boundary is re-validated, no single program covers more than the
+    last-known-good query count.  0 disables splitting."""
+    import os
+    return int(os.environ.get("RECON_NEIGHBOR_MAX_QUERIES", "400000"))
+
+
+def neighbor_map_dense(
+    grid: DenseGrid,
+    queries: jnp.ndarray,
+    q_valid: jnp.ndarray,
+    radius: jnp.ndarray,
+    fn,
+    dims: Tuple[int, int, int],
+    per_cell: int = 8,
+    chunk: int = 4096,
+    exclude_self: bool = False,
+):
+    """Chunk-hardened entry: splits the query stream into host-level
+    slices of <= RECON_NEIGHBOR_MAX_QUERIES (default 400k) so each
+    dispatched program stays inside the relay's last-known-good size
+    (see `_max_queries_per_program`); results concatenate device-side.
+    Equal-size slices (host padding) keep it to ONE compile."""
+    M = queries.shape[0]
+    max_q = _max_queries_per_program()
+    if max_q <= 0 or M <= max_q:
+        return _neighbor_map_dense_program(
+            grid, queries, q_valid, radius, fn, dims,
+            per_cell=per_cell, chunk=chunk, exclude_self=exclude_self)
+    max_q = -(-max_q // chunk) * chunk           # align to the lax.map chunk
+    ns = -(-M // max_q)
+    Mp = ns * max_q
+    qp = jnp.pad(queries.astype(jnp.float32), ((0, Mp - M), (0, 0)))
+    vp = jnp.pad(q_valid, (0, Mp - M))
+    outs = []
+    for s in range(ns):
+        lo, hi = s * max_q, (s + 1) * max_q
+        outs.append(_neighbor_map_dense_program(
+            grid, qp[lo:hi], vp[lo:hi], radius, fn, dims,
+            per_cell=per_cell, chunk=chunk, exclude_self=exclude_self,
+            q_index0=jnp.int32(lo)))
+    cat = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+    return jax.tree_util.tree_map(lambda a: a[:M], cat)

@@ -336,3 +336,36 @@ def test_dedup_nearest_wins_vs_intended_ncc(rng):
     # kept-population sizes must match closely (same run structure)
     assert abs(got.sum() - want.sum()) <= 0.05 * want.sum(), (
         got.sum(), want.sum())
+
+
+def test_neighbor_map_dense_split_matches_unsplit(rng, monkeypatch):
+    """The crash-shape query splitting (RECON_NEIGHBOR_MAX_QUERIES,
+    cloud/neighbors.neighbor_map_dense) must be bit-identical to the
+    single-program path — including exclude_self, whose query ids must
+    stay GLOBAL across slices (the first cut restarted them per slice
+    and silently included every point as its own neighbor)."""
+    from reconstruction_tpu.cloud.filters import _knn_stat, _mean_spacing
+    from reconstruction_tpu.cloud.neighbors import (
+        build_dense_grid, host_grid_geometry, neighbor_map_dense)
+
+    pts = _surface_cloud(rng, 3000, noise=0.003)
+    valid = np.ones(len(pts), bool)
+    k = 20
+    spacing = _mean_spacing(pts, valid)
+    cell = spacing * float(np.sqrt(k)) * 0.6 + 1e-6
+    origin, dims, cell = host_grid_geometry(pts, valid, cell)
+    grid = build_dense_grid(jnp.asarray(pts), jnp.asarray(valid),
+                            origin, cell, dims, pad=16)
+
+    def run():
+        return neighbor_map_dense(
+            grid, jnp.asarray(pts), jnp.asarray(valid), cell,
+            _knn_stat(k), dims, per_cell=16, chunk=256,
+            exclude_self=True)
+
+    monkeypatch.delenv("RECON_NEIGHBOR_MAX_QUERIES", raising=False)
+    md0, has0 = map(np.asarray, run())
+    monkeypatch.setenv("RECON_NEIGHBOR_MAX_QUERIES", "700")
+    md1, has1 = map(np.asarray, run())
+    np.testing.assert_array_equal(has0, has1)
+    np.testing.assert_allclose(md0, md1, rtol=0, atol=0)
