@@ -66,8 +66,22 @@ def _refine_math(d, dN, dS, dE, dW, xi0, xi1, xi2, ws):
     return jnp.where(mode_x | mode_y, blended, d), valid
 
 
-def _segment_kernel(T: int, block: int, halo: int, W: int):
-    """Kernel: T iterations over one (1, block+2*halo, W) row slab."""
+def _segment_kernel(T: int, block: int, halo: int, W: int,
+                    extract: str = "chain"):
+    """Kernel: T iterations over one (1, block+2*halo, W) row slab.
+
+    extract: slot-extraction strategy for the three parabola taps —
+      "chain": one compare per slot k feeding all three taps (34
+        compares + 96 selects, but a SERIAL dependency chain of depth
+        ~32: every xi accumulator threads through every k step).
+      "tree": per-tap binary selection tree over the 32 planes driven
+        by the bits of the slot index (3 x (31 selects + 5 bit tests),
+        dependency depth 5 with 16-way ILP at the leaves).  Same op
+        count, ~6x shorter critical path — candidate for the
+        latency-bound gap between the kernel's 63 ms and its ~4 ms
+        VPU flop floor (VERDICT r4 weak #1).  Bit-equal: every select
+        returns an exact plane value or the same 0.5 fill.
+    """
 
     def kernel(d_ref, cv_ref, jref_ref, inner_ref, ws_ref, out_ref):
         d = d_ref[0]                   # (block+2h, W)
@@ -79,23 +93,10 @@ def _segment_kernel(T: int, block: int, halo: int, W: int):
         # cv_ref block is (1, MINI, block+2h, W): the mini axis leads so
         # the (sublane, lane) dims are the large row/col dims — a trailing
         # 16-wide axis would pad to 128 lanes and blow VMEM 8x.
+        plane = lambda k: cv_ref[0, k].astype(jnp.float32)
 
-        def one_iter(_, d):
-            dN = jnp.concatenate([jnp.full((1, W), nm), d[:-1]], 0)
-            dS = jnp.concatenate([d[1:], jnp.full((1, W), nm)], 0)
-            dW_ = jnp.concatenate([jnp.full((Hb, 1), nm), d[:, :-1]], 1)
-            dE = jnp.concatenate([d[:, 1:], jnp.full((Hb, 1), nm)], 1)
-            c0 = jnp.trunc(d - 1.5)
-            j = (jnp.float32(CENTER) + (c0 - jref)).astype(jnp.int32)
-            # Consolidated slot extraction: ONE compare per k feeds all
-            # three taps (xi0/xi1/xi2 = slots j-1/j/j+1), vs the r3
-            # three-loop form's 96 compares + 96 selects.  The two extra
-            # k steps (-1, MINI) cover the neighbor taps of
-            # out-of-window centers, keeping it bit-equal to the XLA
-            # mini-CV path (0.5 fills beyond the window).
-            half = jnp.full(d.shape, 0.5, jnp.float32)
+        def taps_chain(j, half):
             xi0, xi1, xi2 = half, half, half
-            plane = lambda k: cv_ref[0, k].astype(jnp.float32)
             for k in range(-1, MINI + 1):
                 mk = j == k
                 if 0 <= k < MINI:
@@ -104,6 +105,41 @@ def _segment_kernel(T: int, block: int, halo: int, W: int):
                     xi0 = jnp.where(mk, plane(k - 1), xi0)
                 if -1 <= k < MINI - 1:
                     xi2 = jnp.where(mk, plane(k + 1), xi2)
+            return xi0, xi1, xi2
+
+        def tree_select(idx):
+            """planes[clip(idx, 0, MINI-1)] via bit-driven select tree."""
+            nodes = [plane(k) for k in range(MINI)]
+            bit = 1
+            while len(nodes) > 1:
+                b = (idx & bit) > 0
+                nodes = [jnp.where(b, hi_n, lo_n)
+                         for lo_n, hi_n in zip(nodes[::2], nodes[1::2])]
+                bit <<= 1
+            return nodes[0]
+
+        def taps_tree(j, half):
+            jc = jnp.clip(j, 0, MINI - 1)
+            # Same in-window masks as the chain form (out-of-range taps
+            # read the 0.5 neutral fill).
+            xi1 = jnp.where((j >= 0) & (j < MINI), tree_select(jc), half)
+            xi0 = jnp.where((j >= 1) & (j <= MINI),
+                            tree_select(jnp.clip(j - 1, 0, MINI - 1)), half)
+            xi2 = jnp.where((j >= -1) & (j < MINI - 1),
+                            tree_select(jnp.clip(j + 1, 0, MINI - 1)), half)
+            return xi0, xi1, xi2
+
+        taps = taps_tree if extract == "tree" else taps_chain
+
+        def one_iter(_, d):
+            dN = jnp.concatenate([jnp.full((1, W), nm), d[:-1]], 0)
+            dS = jnp.concatenate([d[1:], jnp.full((1, W), nm)], 0)
+            dW_ = jnp.concatenate([jnp.full((Hb, 1), nm), d[:, :-1]], 1)
+            dE = jnp.concatenate([d[:, 1:], jnp.full((Hb, 1), nm)], 1)
+            c0 = jnp.trunc(d - 1.5)
+            j = (jnp.float32(CENTER) + (c0 - jref)).astype(jnp.int32)
+            half = jnp.full(d.shape, 0.5, jnp.float32)
+            xi0, xi1, xi2 = taps(j, half)
             new_d, valid = _refine_math(d, dN, dS, dE, dW_,
                                         xi0, xi1, xi2, ws)
             return jnp.where(valid & inner, new_d, d)
@@ -116,7 +152,7 @@ def _segment_kernel(T: int, block: int, halo: int, W: int):
 
 @partial(jax.jit, static_argnames=("iterations", "s_cap", "band", "T",
                                    "block", "interpret", "recenter_every",
-                                   "cv_dtype"))
+                                   "cv_dtype", "extract"))
 def disparity_refine_pallas(
     disp: jnp.ndarray,
     imgL: jnp.ndarray,
@@ -131,6 +167,7 @@ def disparity_refine_pallas(
     interpret: bool = False,
     recenter_every: int = 0,
     cv_dtype: str = "float32",
+    extract: str = "chain",
 ) -> jnp.ndarray:
     """Drop-in alternative to `stereo.refine.disparity_refine`
     (bit-equal to its default mini-CV path).
@@ -167,7 +204,7 @@ def disparity_refine_pallas(
     Hp = nb * block
     ws_arr = jnp.full((1,), ws, jnp.float32)
     n_seg = iterations // T
-    kernel = _segment_kernel(T, block, halo, W)
+    kernel = _segment_kernel(T, block, halo, W, extract)
 
     def halo_rows(a, fill):
         pads = [(halo, Hp - H + halo)] + [(0, 0)] * (a.ndim - 1)

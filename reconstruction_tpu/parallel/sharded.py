@@ -39,14 +39,18 @@ def match_level_pairs_sharded(
     masks1: jnp.ndarray,
     coarse: Optional[LevelState],
     level: int,
+    axis: str = "pair",
     **kw,
 ) -> LevelState:
     """All camera pairs of one level as a single SPMD program.
 
     Args: imgs* (Npair, H, W, C), masks* (Npair, H, W); the leading axis
-    is sharded over the mesh's `pair` axis.
+    is sharded over the mesh's ``axis`` (default `pair`; a video batch
+    passes `frame` to shard frames — SURVEY section 2 parallelism table:
+    the frame axis is the DP analogue of `BatchProcess/main.cpp:74-75`'s
+    sequential per-take loop).
     """
-    pair_shard = NamedSharding(mesh, P("pair"))
+    pair_shard = NamedSharding(mesh, P(axis))
 
     def local(i0, i1, m0, m1, c0, c1):
         cs = None if coarse is None else LevelState(disp0=c0, disp1=c1)

@@ -97,7 +97,7 @@ class SweepResult(NamedTuple):
     score: jnp.ndarray      # (H, W) best NCC (-2 where none)
 
 
-@partial(jax.jit, static_argnames=("radius", "band", "tile"))
+@partial(jax.jit, static_argnames=("radius", "band", "tile", "sblock"))
 def ncc_sweep_match(
     imgL: jnp.ndarray,
     imgR: jnp.ndarray,
@@ -108,6 +108,7 @@ def ncc_sweep_match(
     radius: int,
     band: int = 0,
     tile: int = 0,
+    sblock: int = 8,
 ) -> SweepResult:
     """Argmax-NCC match of active left pixels against target columns in
     [bound_lo, bound_hi] (absolute, inclusive, per pixel).
@@ -125,6 +126,14 @@ def ncc_sweep_match(
         — essential at fine pyramid levels where hole pixels can carry
         near-full-row search intervals (`HighLevelInitialMatch`'s
         fallthrough bounds, `CStereoMatching.cpp:259-288`).
+      sblock: shifts per loop iteration.  The depth-1 body re-reads L,
+        the moment maps and the running-best maps from HBM EVERY shift
+        (~140 MB/shift at 1920x1280 — the r4 roofline showed the sweep
+        bound by neither ideal-flops nor ideal-bytes because the REAL
+        traffic was this re-read); a K-shift body slices the shifted
+        operands once and applies K select-updates while everything is
+        fused, cutting main-memory traffic ~K-fold.  Results are
+        bit-identical (same ascending-candidate select chain).
 
     Returns disparity d = t - x (reference convention) and the best score.
     A pixel matches only if some candidate scores > -1
@@ -134,10 +143,11 @@ def ncc_sweep_match(
     if band and band < H and tile and tile < W:
         return _ncc_sweep_match_tiled(imgL, imgR, validR, active,
                                       bound_lo, bound_hi, radius, band,
-                                      tile)
+                                      tile, sblock)
     if band and band < H:
         return _ncc_sweep_match_banded(imgL, imgR, validR, active,
-                                       bound_lo, bound_hi, radius, band)
+                                       bound_lo, bound_hi, radius, band,
+                                       sblock)
     # Center values for f32 conditioning: zero-mean NCC is invariant to a
     # global constant offset, but the box-sum moment terms are not — keeping
     # raw magnitudes small preserves ~2 extra bits in the cancellation
@@ -162,33 +172,44 @@ def ncc_sweep_match(
     imgRf = imgR if imgR.ndim == 3 else imgR[..., None]
 
     # Pre-pad all shifted operands ONCE (loop bodies must not re-pad:
-    # that would copy (H, 3W, C) buffers every iteration).
-    imgR_pad = jnp.pad(imgRf.transpose(2, 0, 1), ((0, 0), (0, 0), (W, W)))
-    muR_pad = jnp.pad(momR.mean, ((0, 0), (W, W)))
-    invR_pad = jnp.pad(momR.inv_norm, ((0, 0), (W, W)), constant_values=1.0)
-    validR_pad = jnp.pad(validR_f, ((0, 0), (W, W)))
+    # that would copy (H, 3W, C) buffers every iteration).  The extra
+    # K-1 right pad keeps the K-wide block slices un-clamped at s_max.
+    K = max(1, sblock)
+    imgR_pad = jnp.pad(imgRf.transpose(2, 0, 1),
+                       ((0, 0), (0, 0), (W, W + K - 1)))
+    muR_pad = jnp.pad(momR.mean, ((0, 0), (W, W + K - 1)))
+    invR_pad = jnp.pad(momR.inv_norm, ((0, 0), (W, W + K - 1)),
+                       constant_values=1.0)
+    validR_pad = jnp.pad(validR_f, ((0, 0), (W, W + K - 1)))
 
-    def body(s, state):
+    def body(i, state):
+        s0 = s_min + i * K
         best_score, best_t = state
-        Rs = _shift_x_pre(imgR_pad, s, W, W).transpose(1, 2, 0)
-        cross = _box_sum((imgLf * Rs).sum(-1), radius)
-        muR_s = _shift_x_pre(muR_pad, s, W, W)
-        invR_s = _shift_x_pre(invR_pad, s, W, W)
-        score = (cross - n * momL.mean * muR_s) * momL.inv_norm * invR_s
-        t = x + s
-        ok = (
-            active
-            & (_shift_x_pre(validR_pad, s, W, W) > 0.5)
-            & (t >= bound_lo)
-            & (t <= bound_hi)
-        )
-        score = jnp.where(ok, score, -2.0)
-        upd = score > best_score
-        return (jnp.where(upd, score, best_score),
-                jnp.where(upd, t, best_t))
+        # ONE wide slice per operand covers shifts s0 .. s0+K-1.
+        Rw = _shift_x_pre(imgR_pad, s0, W, W + K - 1)
+        muw = _shift_x_pre(muR_pad, s0, W, W + K - 1)
+        invw = _shift_x_pre(invR_pad, s0, W, W + K - 1)
+        vw = _shift_x_pre(validR_pad, s0, W, W + K - 1)
+        for k in range(K):
+            s = s0 + k
+            Rs = Rw[:, :, k:k + W].transpose(1, 2, 0)
+            cross = _box_sum((imgLf * Rs).sum(-1), radius)
+            score = ((cross - n * momL.mean * muw[:, k:k + W])
+                     * momL.inv_norm * invw[:, k:k + W])
+            t = x + s
+            # shifts past a pixel's own bound_hi mask out here, so the
+            # ragged last block needs no extra s <= s_max guard
+            ok = (active & (vw[:, k:k + W] > 0.5)
+                  & (t >= bound_lo) & (t <= bound_hi))
+            score = jnp.where(ok, score, -2.0)
+            upd = score > best_score
+            best_score = jnp.where(upd, score, best_score)
+            best_t = jnp.where(upd, t, best_t)
+        return best_score, best_t
 
     init = (jnp.full((H, W), -1.0, jnp.float32), jnp.full((H, W), -1, jnp.int32))
-    best_score, best_t = jax.lax.fori_loop(s_min, s_max + 1, body, init)
+    nblocks = jnp.maximum((s_max - s_min + K) // K, 0)
+    best_score, best_t = jax.lax.fori_loop(0, nblocks, body, init)
     matched = best_t >= 0
     disp = jnp.where(matched, (best_t - x).astype(jnp.float32), float(NOMATCH))
     return SweepResult(disparity=disp, score=best_score)
@@ -203,6 +224,7 @@ def _ncc_sweep_match_banded(
     bound_hi: jnp.ndarray,
     radius: int,
     band: int,
+    sblock: int = 8,
 ) -> SweepResult:
     """Row-banded sweep: each band of rows runs its own shift range."""
     H, W = imgL.shape[:2]
@@ -232,17 +254,20 @@ def _ncc_sweep_match_banded(
 
     x = jnp.arange(W, dtype=jnp.int32)[None, :]
 
+    K = max(1, sblock)
+
     def band_fn(args):
         iL, iR, vR, act, lo, hi = args
         Hb = iL.shape[0]
         momL = ncc_moments(iL, radius)
         momR = ncc_moments(iR, radius)
         n = momL.n
-        iR_pad = jnp.pad(iR.transpose(2, 0, 1), ((0, 0), (0, 0), (W, W)))
-        muR_pad = jnp.pad(momR.mean, ((0, 0), (W, W)))
-        invR_pad = jnp.pad(momR.inv_norm, ((0, 0), (W, W)),
+        iR_pad = jnp.pad(iR.transpose(2, 0, 1),
+                         ((0, 0), (0, 0), (W, W + K - 1)))
+        muR_pad = jnp.pad(momR.mean, ((0, 0), (W, W + K - 1)))
+        invR_pad = jnp.pad(momR.inv_norm, ((0, 0), (W, W + K - 1)),
                            constant_values=1.0)
-        vR_pad = jnp.pad(vR, ((0, 0), (W, W)))
+        vR_pad = jnp.pad(vR, ((0, 0), (W, W + K - 1)))
 
         s_lo_px = jnp.where(act, lo - x, jnp.int32(1 << 20))
         s_hi_px = jnp.where(act, hi - x, jnp.int32(-(1 << 20)))
@@ -250,25 +275,33 @@ def _ncc_sweep_match_banded(
         s_min = jnp.clip(jnp.where(any_act, s_lo_px.min(), 0), -(W - 1), W - 1)
         s_max = jnp.clip(jnp.where(any_act, s_hi_px.max(), -1), -(W - 1), W - 1)
 
-        def body(s, state):
+        def body(i, state):
+            s0 = s_min + i * K
             best_score, best_t = state
-            Rs = _shift_x_pre(iR_pad, s, W, W).transpose(1, 2, 0)
-            cross = _box_sum((iL * Rs).sum(-1), radius)
-            muR_s = _shift_x_pre(muR_pad, s, W, W)
-            invR_s = _shift_x_pre(invR_pad, s, W, W)
-            score = (cross - n * momL.mean * muR_s) * momL.inv_norm * invR_s
-            score = score[halo: halo + band]
-            vs = _shift_x_pre(vR_pad, s, W, W)[halo: halo + band]
-            t = x + s
-            ok = act & (vs > 0.5) & (t >= lo) & (t <= hi)
-            score = jnp.where(ok, score, -2.0)
-            upd = score > best_score
-            return (jnp.where(upd, score, best_score),
-                    jnp.where(upd, t, best_t))
+            Rw = _shift_x_pre(iR_pad, s0, W, W + K - 1)
+            muw = _shift_x_pre(muR_pad, s0, W, W + K - 1)
+            invw = _shift_x_pre(invR_pad, s0, W, W + K - 1)
+            vw = _shift_x_pre(vR_pad, s0, W, W + K - 1)
+            for k in range(K):
+                s = s0 + k
+                Rs = Rw[:, :, k:k + W].transpose(1, 2, 0)
+                cross = _box_sum((iL * Rs).sum(-1), radius)
+                score = ((cross - n * momL.mean * muw[:, k:k + W])
+                         * momL.inv_norm * invw[:, k:k + W])
+                score = score[halo: halo + band]
+                vs = vw[halo: halo + band, k:k + W]
+                t = x + s
+                ok = act & (vs > 0.5) & (t >= lo) & (t <= hi)
+                score = jnp.where(ok, score, -2.0)
+                upd = score > best_score
+                best_score = jnp.where(upd, score, best_score)
+                best_t = jnp.where(upd, t, best_t)
+            return best_score, best_t
 
         init = (jnp.full((band, W), -1.0, jnp.float32),
                 jnp.full((band, W), -1, jnp.int32))
-        return jax.lax.fori_loop(s_min, s_max + 1, body, init)
+        nblocks = jnp.maximum((s_max - s_min + K) // K, 0)
+        return jax.lax.fori_loop(0, nblocks, body, init)
 
     score_b, t_b = jax.lax.map(band_fn, (bL, bR, bvR, bact, blo, bhi))
     best_score = score_b.reshape(Hp, W)[:H]
@@ -290,6 +323,7 @@ def _ncc_sweep_match_tiled(
     radius: int,
     band: int,
     tile: int,
+    sblock: int = 8,
 ) -> SweepResult:
     """2D-tiled sweep: each (band-rows x tile-cols) tile sweeps only ITS
     OWN shift range.
@@ -343,14 +377,15 @@ def _ncc_sweep_match_tiled(
     t_imgL = jnp.moveaxis(tl, 2, 1).reshape(
         nb * nt, band + 2 * r, tile + 2 * r, C)
 
-    # Right-view operands, padded once; per (tile, shift) reads are
+    # Right-view operands, padded once; per (tile, shift-block) reads are
     # dynamic slices at x0 + W + s (interior) / with a +-r halo (product).
-    imgR_pad = jnp.pad(pad_hw(imgR), ((r, r), (W + r, W + r), (0, 0)))
-    muR_pad = jnp.pad(pad_hw(momR.mean), ((0, 0), (W, W)))
-    invR_pad = jnp.pad(pad_hw(momR.inv_norm, 1.0), ((0, 0), (W, W)),
+    K = max(1, sblock)
+    imgR_pad = jnp.pad(pad_hw(imgR), ((r, r), (W + r, W + r + K - 1), (0, 0)))
+    muR_pad = jnp.pad(pad_hw(momR.mean), ((0, 0), (W, W + K - 1)))
+    invR_pad = jnp.pad(pad_hw(momR.inv_norm, 1.0), ((0, 0), (W, W + K - 1)),
                        constant_values=1.0)
     validR_pad = jnp.pad(pad_hw(validR.astype(jnp.float32)),
-                         ((0, 0), (W, W)))
+                         ((0, 0), (W, W + K - 1)))
 
     row0s = jnp.repeat(jnp.arange(nb, dtype=jnp.int32) * band, nt)
     x0s = jnp.tile(jnp.arange(nt, dtype=jnp.int32) * tile, nb)
@@ -367,29 +402,37 @@ def _ncc_sweep_match_tiled(
         s_max = jnp.clip(jnp.where(any_act, s_hi_px.max(), -1),
                          -(W - 1), W - 1)
 
-        def body(s, state):
+        def body(i, state):
+            s0 = s_min + i * K
             best_score, best_t = state
-            Rs = jax.lax.dynamic_slice(
-                imgR_pad, (row0, x0 + W + s, 0),
-                (band + 2 * r, tile + 2 * r, C))
-            cross = _box_sum((iL * Rs).sum(-1), r)[r:-r, r:-r]
-            muR_s = jax.lax.dynamic_slice(
-                muR_pad, (row0, x0 + W + s), (band, tile))
-            invR_s = jax.lax.dynamic_slice(
-                invR_pad, (row0, x0 + W + s), (band, tile))
-            vR_s = jax.lax.dynamic_slice(
-                validR_pad, (row0, x0 + W + s), (band, tile))
-            score = (cross - n * muL * muR_s) * invL * invR_s
-            t = x_abs + s
-            ok = act & (vR_s > 0.5) & (t >= lo) & (t <= hi)
-            score = jnp.where(ok, score, -2.0)
-            upd = score > best_score
-            return (jnp.where(upd, score, best_score),
-                    jnp.where(upd, t, best_t))
+            Rw = jax.lax.dynamic_slice(
+                imgR_pad, (row0, x0 + W + s0, 0),
+                (band + 2 * r, tile + 2 * r + K - 1, C))
+            muw = jax.lax.dynamic_slice(
+                muR_pad, (row0, x0 + W + s0), (band, tile + K - 1))
+            invw = jax.lax.dynamic_slice(
+                invR_pad, (row0, x0 + W + s0), (band, tile + K - 1))
+            vw = jax.lax.dynamic_slice(
+                validR_pad, (row0, x0 + W + s0), (band, tile + K - 1))
+            for k in range(K):
+                s = s0 + k
+                Rs = Rw[:, k:k + tile + 2 * r]
+                cross = _box_sum((iL * Rs).sum(-1), r)[r:-r, r:-r]
+                score = ((cross - n * muL * muw[:, k:k + tile])
+                         * invL * invw[:, k:k + tile])
+                t = x_abs + s
+                ok = (act & (vw[:, k:k + tile] > 0.5)
+                      & (t >= lo) & (t <= hi))
+                score = jnp.where(ok, score, -2.0)
+                upd = score > best_score
+                best_score = jnp.where(upd, score, best_score)
+                best_t = jnp.where(upd, t, best_t)
+            return best_score, best_t
 
         init = (jnp.full((band, tile), -1.0, jnp.float32),
                 jnp.full((band, tile), -1, jnp.int32))
-        return jax.lax.fori_loop(s_min, s_max + 1, body, init)
+        nblocks = jnp.maximum((s_max - s_min + K) // K, 0)
+        return jax.lax.fori_loop(0, nblocks, body, init)
 
     score_t, t_t = jax.lax.map(
         tile_fn, (t_imgL, t_muL, t_invL, t_act, t_lo, t_hi, row0s, x0s))

@@ -73,7 +73,17 @@ def match_one_level(
     refine_cv_dtype: str = "float32",
 ) -> LevelState:
     """One pyramid level for both directions (`MatchOneLayer`,
-    `CStereoMatching.cpp:36-113`)."""
+    `CStereoMatching.cpp:36-113`).
+
+    The per-direction stages run under `lax.scan` over a 2-lane
+    direction axis (lane 0 = view0->view1, lane 1 = the swap) instead
+    of two inline copies: each stage body traces ONCE, which halves the
+    compiled executable (the finest-level binary was ~85 MB and cold
+    start is bounded by shipping binaries over the relay at 5-20 MB/s —
+    tools/repro_level_cache.py, VERDICT r4 weak #4).  The scan runs the
+    directions sequentially, exactly like the reference's back-to-back
+    calls.  The joint uniqueness cascades stay unbatched between
+    segments (they couple the two directions)."""
     if refine_impl == "auto":
         d = jax.devices()[0]
         is_tpu = ("tpu" in d.platform.lower()
@@ -84,47 +94,43 @@ def match_one_level(
     m0 = find_margin(v0, radius)
     m1 = find_margin(v1, radius)
 
+    stk = lambda a, b: jax.tree_util.tree_map(
+        lambda x, y: jnp.stack([jnp.asarray(x), jnp.asarray(y)]), a, b)
+    A_img = stk(img0, img1)   # lane's own view
+    B_img = stk(img1, img0)   # lane's opposite view
+    A_v, B_v = stk(v0, v1), stk(v1, v0)
+    A_m, B_m = stk(m0, m1), stk(m1, m0)
+
+    def seg_match(c, x):
+        if level == 0:
+            ai, bi, av, bv, am, bm = x
+            d = brute_force_match(ai, bi, av, bv, am, bm, radius)
+        else:
+            ai, bi, av, bv, am, bm, ac = x
+            d = guided_match(ai, bi, av, bv, ac, am, bm, radius, offset)
+        d = smoothness_constraint(d, am)
+        d = ordering_constraint(d, am)
+        return c, d
+
     if level == 0:
-        d0 = brute_force_match(img0, img1, v0, v1, m0, m1, radius)
-        d1 = brute_force_match(img1, img0, v1, v0, m1, m0, radius)
+        xs = (A_img, B_img, A_v, B_v, A_m, B_m)
     else:
         assert coarse is not None
-        d0 = guided_match(img0, img1, v0, v1, coarse.disp0, m0, m1, radius,
-                          offset)
-        d1 = guided_match(img1, img0, v1, v0, coarse.disp1, m1, m0, radius,
-                          offset)
-
-    d0 = smoothness_constraint(d0, m0)
-    d1 = smoothness_constraint(d1, m1)
-    d0 = ordering_constraint(d0, m0)
-    d1 = ordering_constraint(d1, m1)
+        xs = (A_img, B_img, A_v, B_v, A_m, B_m,
+              stk(coarse.disp0, coarse.disp1))
+    _, ds = jax.lax.scan(seg_match, 0, xs)
+    d0, d1 = ds[0], ds[1]
     d0, d1 = uniqueness_constraint(d0, d1, m0, m1)
 
-    bl0, br0 = propagate_bounds(d0, v0, m0, m1)
-    d0 = rematch(img0, img1, v0, v1, d0, bl0, br0, m0, radius)
-    bl1, br1 = propagate_bounds(d1, v1, m1, m0)
-    d1 = rematch(img1, img0, v1, v0, d1, bl1, br1, m1, radius)
+    def seg_rematch(c, x):
+        ai, bi, av, bv, am, bm, d = x
+        bl, br = propagate_bounds(d, av, am, bm)
+        return c, rematch(ai, bi, av, bv, d, bl, br, am, radius)
 
+    _, ds = jax.lax.scan(seg_rematch, 0,
+                         (A_img, B_img, A_v, B_v, A_m, B_m, stk(d0, d1)))
+    d0, d1 = ds[0], ds[1]
     d0, d1 = uniqueness_constraint(d0, d1, m0, m1)
-    d0 = median_filter(d0, v0, m0, median_iters)
-    d1 = median_filter(d1, v1, m1, median_iters)
-
-    pre0, pre1 = d0, d1
-    if refine_impl == "pallas":
-        from reconstruction_tpu.ops.refine_pallas import disparity_refine_pallas
-        kw = ({"cv_dtype": "bfloat16", "T": 6, "block": 32}
-              if refine_cv_dtype == "bfloat16" else {})
-        d0 = disparity_refine_pallas(d0, img0, img1, m0, refine_iters, ws,
-                                     s_cap, recenter_every=recenter_every,
-                                     **kw)
-        d1 = disparity_refine_pallas(d1, img1, img0, m1, refine_iters, ws,
-                                     s_cap, recenter_every=recenter_every,
-                                     **kw)
-    else:
-        d0 = disparity_refine(d0, img0, img1, m0, refine_iters, ws, s_cap,
-                              recenter_every=recenter_every)
-        d1 = disparity_refine(d1, img1, img0, m1, refine_iters, ws, s_cap,
-                              recenter_every=recenter_every)
 
     def drift(pre, post):
         """p99 of |d_refined - d_pre| over pixels valid in both.  p99,
@@ -141,7 +147,27 @@ def match_one_level(
         frac = jnp.mean(ok.astype(jnp.float32))
         return jnp.percentile(mag, 100.0 - frac)
 
-    drift0, drift1 = drift(pre0, d0), drift(pre1, d1)
+    def seg_refine(c, x):
+        ai, bi, av, am, d = x
+        d = median_filter(d, av, am, median_iters)
+        pre = d
+        if refine_impl == "pallas":
+            from reconstruction_tpu.ops.refine_pallas import (
+                disparity_refine_pallas)
+            kw = ({"cv_dtype": "bfloat16", "T": 6, "block": 32}
+                  if refine_cv_dtype == "bfloat16" else {})
+            d = disparity_refine_pallas(d, ai, bi, am, refine_iters, ws,
+                                        s_cap, recenter_every=recenter_every,
+                                        **kw)
+        else:
+            d = disparity_refine(d, ai, bi, am, refine_iters, ws, s_cap,
+                                 recenter_every=recenter_every)
+        return c, (d, drift(pre, d))
+
+    _, (ds, drs) = jax.lax.scan(seg_refine, 0,
+                                (A_img, B_img, A_v, A_m, stk(d0, d1)))
+    d0, d1 = ds[0], ds[1]
+    drift0, drift1 = drs[0], drs[1]
     d0, d1 = uniqueness_constraint(d0, d1, m0, m1)
     return LevelState(disp0=d0, disp1=d1,
                       refine_drift0=drift0, refine_drift1=drift1)

@@ -129,3 +129,49 @@ def test_ncc_sweep_pallas_matches_xla(rng):
         sc = np.isclose(np.asarray(ref.score), np.asarray(out.score),
                         atol=1e-4)
         assert sc.mean() > 0.999
+
+
+def test_refine_pallas_tree_extract_matches_chain(rng):
+    """The bit-tree slot extraction (depth-5 selects, r5 latency
+    candidate) must be BIT-equal to the chain form: every select
+    returns an exact plane value or the same 0.5 fill."""
+    imgL, imgR, disp, valid = _scene(rng, H=64, W=48)
+    m = find_margin(jnp.asarray(valid), 2)
+    kw = dict(iterations=12, s_cap=32, band=8, T=6, block=16,
+              interpret=True)
+    a = disparity_refine_pallas(jnp.asarray(disp), jnp.asarray(imgL),
+                                jnp.asarray(imgR), m, extract="chain",
+                                **kw)
+    b = disparity_refine_pallas(jnp.asarray(disp), jnp.asarray(imgL),
+                                jnp.asarray(imgR), m, extract="tree",
+                                **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ncc_sweep_shift_block_matches_depth1(rng):
+    """K-shift-blocked sweep bodies (sblock, r5 traffic fix) must be
+    bit-identical to the depth-1 sweep for every variant (unbanded /
+    banded / tiled)."""
+    from reconstruction_tpu.stereo.matching import ncc_sweep_match
+    for (H, W, band, tile) in [(48, 64, 0, 0), (96, 64, 24, 0),
+                               (96, 128, 24, 32)]:
+        iL = rng.uniform(0, 255, (H, W, 3)).astype(np.float32)
+        iR = rng.uniform(0, 255, (H, W, 3)).astype(np.float32)
+        vR = rng.uniform(size=(H, W)) > 0.1
+        act = rng.uniform(size=(H, W)) > 0.3
+        x = np.arange(W)[None, :]
+        lo = np.clip(x + rng.integers(-9, 0, (H, W)), 0, W - 1)
+        hi = np.clip(lo + rng.integers(0, 13, (H, W)), 0, W - 1)
+        ref = None
+        for sb in (1, 8):
+            r = ncc_sweep_match(
+                jnp.asarray(iL), jnp.asarray(iR), jnp.asarray(vR),
+                jnp.asarray(act), jnp.asarray(lo.astype(np.int32)),
+                jnp.asarray(hi.astype(np.int32)), 2, band=band,
+                tile=tile, sblock=sb)
+            cur = (np.asarray(r.disparity), np.asarray(r.score))
+            if ref is None:
+                ref = cur
+            else:
+                np.testing.assert_array_equal(ref[0], cur[0])
+                np.testing.assert_array_equal(ref[1], cur[1])
