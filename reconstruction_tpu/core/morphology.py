@@ -65,3 +65,53 @@ def erode_mask(mask: jnp.ndarray, se_size: int, threshold: float = 254.5) -> jnp
 def valid_mask(mask: jnp.ndarray, threshold: float = 254.5) -> jnp.ndarray:
     """Boolean validity from a [0,255] mask (reference: `mask == 255`)."""
     return mask >= threshold
+
+
+def erode_binary_np(valid: np.ndarray, se: np.ndarray) -> np.ndarray:
+    """Host twin of `_erode` — EXACT integer morphology, same (h//2,
+    h-1-h//2) anchor as the XLA conv padding (even-size SEs are
+    asymmetric, so anchoring is load-bearing) and the same valid-outside
+    border.  Per-SE-row integral sums: the ellipse's rows are contiguous
+    runs, so the 2D hit count is h row-window sums on a cumsum —
+    O(h * H * W) adds instead of the full correlate.
+
+    Lets the native backend erode on host and ship masks BITPACKED
+    (native stereo uplink carried 4.9 MB/pair of mask bytes whose only
+    consumers threshold at 254.5 — VERDICT r4 weak #3)."""
+    h, w = se.shape
+    r, c = h // 2, w // 2
+    H, W = valid.shape
+    inv = (~valid.astype(bool)).astype(np.int32)
+    invp = np.pad(inv, ((r, h - 1 - r), (c, w - 1 - c)))
+    cs = np.cumsum(invp, axis=1)
+    csp = np.pad(cs, ((0, 0), (1, 0)))
+    hits = np.zeros((H, W), np.int64)
+    for dy in range(h):
+        nz = np.flatnonzero(se[dy])
+        if len(nz) == 0:
+            continue
+        a, b = int(nz[0]), int(nz[-1])
+        hits += (csp[dy:dy + H, b + 1:b + 1 + W].astype(np.int64)
+                 - csp[dy:dy + H, a:a + W])
+    return hits == 0
+
+
+def erode_mask_np(mask: np.ndarray, se_size: int,
+                  threshold: float = 254.5) -> np.ndarray:
+    """Host twin of `erode_mask`: boolean validity out."""
+    return erode_binary_np(np.asarray(mask) >= threshold,
+                           ellipse_kernel(se_size, se_size))
+
+
+def pack_mask_bits(valid: np.ndarray) -> np.ndarray:
+    """(H, W) bool -> (H, ceil(W/8)) uint8, MSB-first (np.packbits)."""
+    return np.packbits(np.asarray(valid, bool), axis=1)
+
+
+@partial(jax.jit, static_argnames=("W",))
+def unpack_mask_bits(packed: jnp.ndarray, W: int) -> jnp.ndarray:
+    """(H, ceil(W/8)) uint8 -> (H, W) float32 {0, 255} mask."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)       # MSB-first
+    bits = (packed[:, :, None] >> shifts[None, None, :]) & jnp.uint8(1)
+    H = packed.shape[0]
+    return bits.reshape(H, -1)[:, :W].astype(jnp.float32) * 255.0

@@ -66,12 +66,13 @@ def match_pairs_sharded(
     use_native = resolve_backend(cfg.cloud.backend) == "native"
 
     working = cfg.finest_size
-    rects, imgs_d, masks_d, raw_d, host_im, host_rm = [], [], [], [], [], []
+    rects, imgs_d, masks_d, raw_d = [], [], [], []
+    host_im, host_rm, host_er = [], [], []
     for pin in pairs:
         origin_size = (pin.image0.shape[1], pin.image0.shape[0])
         rect = rectify_pair(pin.K0, pin.Rt0, pin.K1, pin.Rt1,
                             origin_size, working)
-        imgs, masks, raw_masks, h_im, h_rm = remap_pair_views(
+        imgs, masks, raw_masks, h_im, h_rm, h_er = remap_pair_views(
             cfg, pin.image0, pin.image1, pin.mask0, pin.mask1,
             pin.K0, pin.K1, rect, working, use_native)
         rects.append(rect)
@@ -80,20 +81,26 @@ def match_pairs_sharded(
         raw_d.append(raw_masks)
         host_im.append(h_im)
         host_rm.append(h_rm)
+        host_er.append(h_er)
 
     def stack(view_lists, k):
         arrs = [vl[k] for vl in view_lists]
         arrs += [arrs[0]] * n_pad
         return jnp.stack(arrs)
 
+    have_host_imgs = bool(host_im[0])
     pair_shard = NamedSharding(mesh, P("pair"))
     put = lambda a: jax.device_put(a, pair_shard)
     I0 = put(stack(imgs_d, 0))
     I1 = put(stack(imgs_d, 1))
     M0 = put(stack(masks_d, 0))
     M1 = put(stack(masks_d, 1))
-    R0 = put(stack(raw_d, 0))
-    R1 = put(stack(raw_d, 1))
+    if not have_host_imgs:
+        # Raw (pre-erosion) masks only feed the packed fetch on the jax
+        # path; in native mode they stay host-side (remap_pair_views
+        # returns None entries).
+        R0 = put(stack(raw_d, 0))
+        R1 = put(stack(raw_d, 1))
 
     # Batched pyramids (`ConstructPyrm`, `CStereoMatching.cpp:1040-1053`).
     L = cfg.pyramid_levels
@@ -137,21 +144,20 @@ def match_pairs_sharded(
                            quantize_u8(mp1[finest]))
 
     to_u8 = lambda a: jnp.clip(a, 0, 255).astype(jnp.uint8)
-    fetch = [state.disp0, jnp.stack(drifts, axis=1), mg0, mg1,
-             to_u8(quantize_u8(mp0[finest]))]
-    have_host_imgs = bool(host_im[0])
+    fetch = [state.disp0, jnp.stack(drifts, axis=1), mg0, mg1]
     if not have_host_imgs:
-        fetch += [to_u8(I0), to_u8(I1),
+        fetch += [to_u8(quantize_u8(mp0[finest])),
+                  to_u8(I0), to_u8(I1),
                   to_u8(quantize_u8(R0)), to_u8(quantize_u8(R1))]
-    if cfg.cloud.dedup:
+    if cfg.cloud.dedup and not have_host_imgs:
         fetch += [to_u8(M0), to_u8(M1)]
     out = fetch_packed(fetch)
-    disp_h, drifts_h, mg0_h, mg1_h, fmask_h = out[:5]
-    pos = 5
+    disp_h, drifts_h, mg0_h, mg1_h = out[:4]
+    pos = 4
     if not have_host_imgs:
-        I0_h, I1_h, R0_h, R1_h = out[pos:pos + 4]
-        pos += 4
-    if cfg.cloud.dedup:
+        fmask_h, I0_h, I1_h, R0_h, R1_h = out[pos:pos + 5]
+        pos += 5
+    if cfg.cloud.dedup and not have_host_imgs:
         EM0_h, EM1_h = out[pos:pos + 2]
 
     origin_w = pairs[0].image0.shape[1]
@@ -163,14 +169,21 @@ def match_pairs_sharded(
         if have_host_imgs:
             im0_h, im1_h = host_im[i]
             rm0_h, rm1_h = host_rm[i]
+            fmask_i = host_er[i][0].astype(np.uint8) * 255
         else:
             im0_h, im1_h = I0_h[i], I1_h[i]
             rm0_h, rm1_h = R0_h[i], R1_h[i]
+            fmask_i = fmask_h[i]
         cloud = disparity_to_cloud_np(
-            disp_h[i], fmask_h[i], im0_h, rect.Q, rect.R_final,
+            disp_h[i], fmask_i, im0_h, rect.Q, rect.R_final,
             rect.T_final, mg0_h[i], scale,
             erode_frac=cfg.stereo.cloud_erode_frac)
-        em = ((EM0_h[i], EM1_h[i]) if cfg.cloud.dedup else (None, None))
+        if cfg.cloud.dedup:
+            em = ((host_er[i][0].astype(np.uint8) * 255,
+                   host_er[i][1].astype(np.uint8) * 255)
+                  if have_host_imgs else (EM0_h[i], EM1_h[i]))
+        else:
+            em = (None, None)
         results.append(PairResult(
             disparity=disp_h[i],
             cloud=cloud,

@@ -15,6 +15,38 @@ import numpy as np
 
 _PACKERS = {}  # casts-signature -> jitted packer (see fetch_packed)
 
+# ---------------------------------------------------------------------------
+# Link byte accounting (VERDICT r4 weak #3: "prove the link floor").
+# Uploads are counted at the pipeline's host->device sites via
+# `upload()`; fetch_packed counts every packed download.  bench.py reads
+# these to report bytes x measured-rate against the fetch span.
+# ---------------------------------------------------------------------------
+
+_XFER = {"up_bytes": 0, "down_bytes": 0, "up_events": 0, "down_events": 0}
+
+
+def xfer_reset() -> None:
+    for k in _XFER:
+        _XFER[k] = 0
+
+
+def xfer_stats() -> dict:
+    return dict(_XFER)
+
+
+def count_upload(nbytes: int) -> None:
+    _XFER["up_bytes"] += int(nbytes)
+    _XFER["up_events"] += 1
+
+
+def upload(a):
+    """jnp.asarray with uplink byte accounting (host arrays only count
+    their true host-side byte size — upload u8, widen on device)."""
+    import jax.numpy as jnp
+    if isinstance(a, np.ndarray):
+        count_upload(a.nbytes)
+    return jnp.asarray(a)
+
 
 def _get_packer(casts):
     """Jitted packer for one casts signature (jit then caches by input
@@ -70,6 +102,8 @@ def fetch_packed(arrays: Sequence, casts: Sequence = None) -> List[np.ndarray]:
     if packer is None:
         packer = _PACKERS[key] = _get_packer(key)
     buf = np.asarray(packer(*parts))
+    _XFER["down_bytes"] += buf.nbytes
+    _XFER["down_events"] += 1
     out, off = [], 0
     for kind, shape, dt, nbytes in metas:
         if kind == "np":

@@ -235,3 +235,21 @@ def test_config_presets():
     assert cfg.num_pairs == 4
     eth = preset("ETH")
     assert eth.cloud.sor_std_thresh == 0.5
+
+
+def test_erode_host_twin_matches_device():
+    """erode_mask_np / pack+unpack round trip == the device conv-erode,
+    including EVEN structuring-element sizes (asymmetric anchor)."""
+    import jax.numpy as jnp
+    from reconstruction_tpu.core.morphology import (
+        erode_mask, erode_mask_np, pack_mask_bits, unpack_mask_bits)
+    rng = np.random.default_rng(5)
+    for (H, W, se) in [(60, 77, 3), (64, 80, 24), (50, 41, 8)]:
+        m = (rng.uniform(size=(H, W)) > 0.3).astype(np.float32) * 255.0
+        m[10:30, 5:30] = 255.0
+        dev = np.asarray(erode_mask(jnp.asarray(m), se))
+        host = erode_mask_np(m, se)
+        np.testing.assert_array_equal(dev == 255.0, host)
+        up = np.asarray(unpack_mask_bits(
+            jnp.asarray(pack_mask_bits(host)), W))
+        np.testing.assert_array_equal(up, host.astype(np.float32) * 255.0)

@@ -278,3 +278,45 @@ def test_sor_gate_np_matches_jax(rng):
     # f32-vs-f64 accumulation can flip points sitting exactly on the
     # gate; the populations must agree essentially everywhere
     assert (a == b).mean() > 0.999, (a != b).sum()
+
+
+def test_match_pair_native_matches_jax():
+    """The native per-pair path (host remap + HOST mask erode + bitpacked
+    mask upload + host triangulation, r5) against the all-device jax
+    path.  The host erode is an exact twin (test_erode_* in test_core),
+    so any disparity difference comes only from the remap backend's
+    float rounding on the uint8 grid."""
+    import sys
+    sys.path.insert(0, "tests")
+    from synthetic import make_stereo_scene
+    from reconstruction_tpu.config import preset
+    from reconstruction_tpu.stereo.pipeline import match_pair
+
+    cfg = preset("tiny").replace(
+        pyramid_levels=2, lowest_level_size=(80, 60),
+        cam_pairs=((0, 1),))
+    cams, imgs, masks = make_stereo_scene(image_size=(160, 120),
+                                          num_cameras=2)
+    args = (imgs[0], imgs[1], masks[0], masks[1],
+            np.asarray(cams[0].K), np.asarray(cams[0].Rt),
+            np.asarray(cams[1].K), np.asarray(cams[1].Rt))
+    r_jax = match_pair(cfg.replace(cloud=cfg.cloud.__class__(
+        **{**cfg.cloud.__dict__, "backend": "jax"})), *args)
+    r_nat = match_pair(cfg.replace(cloud=cfg.cloud.__class__(
+        **{**cfg.cloud.__dict__, "backend": "native"})), *args)
+
+    d_j = np.asarray(r_jax.disparity)
+    d_n = np.asarray(r_nat.disparity)
+    from reconstruction_tpu.config import NOMATCH
+    vj, vn = d_j != NOMATCH, d_n != NOMATCH
+    # remap rounding can flip isolated mask/match pixels
+    assert (vj != vn).mean() < 0.02, (vj != vn).mean()
+    both = vj & vn
+    # int16 disparity quantization + remap rounding
+    diff = np.abs(d_j[both] - d_n[both])
+    assert np.median(diff) < 0.01, np.median(diff)
+    assert (diff > 0.5).mean() < 0.01
+    assert r_nat.cloud.xyz.shape[0] > 500
+    assert np.isfinite(r_nat.cloud.xyz).all()
+    # the native rect images feed texture: uint8, same shape
+    assert r_nat.rect_images[0].dtype == np.uint8

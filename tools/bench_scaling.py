@@ -123,6 +123,13 @@ def run_axis(axis: str, counts, levels: int, base_wh, repeats: int):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default="cpu",
+                    help="jax platform (default cpu: the sitecustomize "
+                         "pins JAX_PLATFORMS=axon and env vars do NOT "
+                         "override it — only jax.config does; 'tpu'/"
+                         "'axon' only via tools/tpu_run.py)")
+    ap.add_argument("--devices", type=int, default=8,
+                    help="virtual device count when platform is cpu")
     ap.add_argument("--axis", default="pair", choices=["pair", "frame"])
     ap.add_argument("--both", action="store_true",
                     help="run pair AND frame axis variants")
@@ -133,6 +140,14 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--json", default="")
     args = ap.parse_args()
+
+    if args.platform == "cpu":
+        import os
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.devices}")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     axes = ["pair", "frame"] if args.both else [args.axis]
     all_res = []
