@@ -175,3 +175,38 @@ def test_ncc_sweep_shift_block_matches_depth1(rng):
             else:
                 np.testing.assert_array_equal(ref[0], cur[0])
                 np.testing.assert_array_equal(ref[1], cur[1])
+
+
+def test_ncc_sweep_mxu_matches_xla(rng):
+    """The MXU im2col+shear sweep (ops/ncc_sweep_mxu.py) is BIT-equal
+    to the XLA sweep: integer u8-centered images make the bf16 MXU
+    cross sums exact (see module docstring)."""
+    from reconstruction_tpu.ops.ncc_sweep_mxu import ncc_sweep_match_mxu
+    from reconstruction_tpu.stereo.matching import ncc_sweep_match
+    from reconstruction_tpu.core.pyramid import quantize_u8
+
+    for (H, W, C, lo0, wid, ps) in [(24, 128, 3, -20, 40, 128),
+                                    (17, 200, 3, -120, 240, 256),
+                                    (12, 96, 1, -5, 10, 128)]:
+        shape = (H, W, C) if C == 3 else (H, W)
+        iL = quantize_u8(jnp.asarray(
+            rng.uniform(0, 255, shape).astype(np.float32)))
+        iR = quantize_u8(jnp.asarray(
+            rng.uniform(0, 255, shape).astype(np.float32)))
+        vR = rng.uniform(size=(H, W)) > 0.1
+        act = rng.uniform(size=(H, W)) > 0.3
+        x = np.arange(W)[None, :]
+        lo = np.clip(x + rng.integers(lo0, 1, (H, W)), 0, W - 1)
+        hi = np.clip(lo + rng.integers(0, wid + 1, (H, W)), 0, W - 1)
+        ref = ncc_sweep_match(iL, iR, jnp.asarray(vR), jnp.asarray(act),
+                              jnp.asarray(lo.astype(np.int32)),
+                              jnp.asarray(hi.astype(np.int32)), 2)
+        got = ncc_sweep_match_mxu(iL, iR, jnp.asarray(vR),
+                                  jnp.asarray(act),
+                                  jnp.asarray(lo.astype(np.int32)),
+                                  jnp.asarray(hi.astype(np.int32)), 2,
+                                  pad_shift=ps, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref.disparity),
+                                      np.asarray(got.disparity))
+        np.testing.assert_array_equal(np.asarray(ref.score),
+                                      np.asarray(got.score))
