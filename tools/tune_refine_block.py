@@ -51,25 +51,25 @@ def main():
     # double-buffered window block; bf16 halves it (NOT bit-equal —
     # the tuner reports the deviation so adoption is a measured call).
     variants = (
-        (6, 24, "float32"), (10, 16, "float32"), (10, 24, "float32"),
-        (6, 32, "float32"), (15, 16, "float32"),
-        (6, 32, "bfloat16"), (10, 32, "bfloat16"), (15, 32, "bfloat16"),
-        (30, 32, "bfloat16"), (15, 48, "bfloat16"), (30, 48, "bfloat16"),
+        (6, 24, "float32", "chain"), (6, 24, "float32", "tree"),
+        (6, 32, "float32", "tree"), (10, 24, "float32", "tree"),
+        (6, 32, "bfloat16", "chain"), (6, 32, "bfloat16", "tree"),
+        (10, 16, "float32", "chain"),
     )
     ref = None
     results = []
-    for T, block, dt in variants:
+    for T, block, dt, ex in variants:
         slab = block + 2 * T
         vmem_mb = 32 * slab * W * (4 if dt == "float32" else 2) / 2**20
         def fn(d):
             return disparity_refine_pallas(d, iL, iR, m, 30, 0.03,
                                            128, 64, T=T, block=block,
-                                           cv_dtype=dt)
+                                           cv_dtype=dt, extract=ex)
 
         try:
             out = np.asarray(fn(disp0))
         except Exception as e:  # noqa: BLE001 — report and continue
-            log(f"T={T} block={block} {dt}: FAILED "
+            log(f"T={T} block={block} {dt} {ex}: FAILED "
                 f"{type(e).__name__}: {str(e)[:200]}")
             continue
         if ref is None:
@@ -87,13 +87,14 @@ def main():
             return f
 
         t = benchmod._time_chained(make_loop, 1, 3)
-        log(f"T={T:>2} block={block:>2} {dt:<8}: {t*1e3:6.1f} ms/30-sweeps"
+        log(f"T={T:>2} block={block:>2} {dt:<8} {ex:<5}: "
+            f"{t*1e3:6.1f} ms/30-sweeps"
             f"  cv_slab={vmem_mb:.1f}MB  equal={eq} maxdev={dev:.2e}")
-        results.append((t, T, block, dt))
+        results.append((t, T, block, dt, ex))
     if results:
         results.sort()
-        t, T, block, dt = results[0]
-        log(f"BEST: T={T} block={block} {dt} at {t*1e3:.1f} ms")
+        t, T, block, dt, ex = results[0]
+        log(f"BEST: T={T} block={block} {dt} {ex} at {t*1e3:.1f} ms")
     log("DONE")
     return 0
 
