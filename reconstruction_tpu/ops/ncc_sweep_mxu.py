@@ -64,7 +64,7 @@ def _roll(a, k, axis):
 def _mxu_kernel(r, B, W, C, n_val, P, WLP, TP, smem, Lw_ref, Rw_ref,
                 muL_ref, invL_ref, muRw_ref, invRw_ref, validRw_ref,
                 act_ref, lo_ref, hi_ref, score_ref, t_ref,
-                wl_ref, wr_ref):
+                wl_ref, wr_ref, bs_ref, bt_ref):
     """One row-block of B rows; see module docstring.
 
     Layouts (leading grid dim on every ref):
@@ -72,7 +72,7 @@ def _mxu_kernel(r, B, W, C, n_val, P, WLP, TP, smem, Lw_ref, Rw_ref,
       Rw:  (1, C, B+2*HALO, P)  bf16 — x=0 at col pad_shift,
       muL/invL/act/lo/hi: (1, B, W); muRw/invRw/validRw: (1, B, P),
       outputs score/t: (1, B, W),
-      wl/wr: VMEM scratch (TP, B, WLP) / (TP, B, P) bf16 im2col stacks.
+      wl/wr: VMEM scratch (B, TP, WLP) / (B, TP, P) bf16 im2col stacks.
     """
     s_min = smem[0]
     s_cnt = smem[1]
@@ -81,86 +81,102 @@ def _mxu_kernel(r, B, W, C, n_val, P, WLP, TP, smem, Lw_ref, Rw_ref,
     nx = W // XT
     hr = HALO - r
 
-    # --- im2col stacks: one static row-slice + static lane-roll per tap
-    # (dx in [-r, r]; rolled-in lanes come from the zero pads).  Tap
-    # rows beyond `taps` stay zero: exact zero contributions.
+    # --- im2col stacks (B, TP, cols): one static row-slice + static
+    # lane-roll per tap (dx in [-r, r]; rolled-in lanes come from the
+    # zero pads).  Tap rows beyond `taps` stay zero: exact zero
+    # contributions.
+    for kz in range(taps, TP):
+        wl_ref[:, kz:kz + 1, :] = jnp.zeros((B, 1, WLP), jnp.bfloat16)
+        wr_ref[:, kz:kz + 1, :] = jnp.zeros((B, 1, P), jnp.bfloat16)
     k = 0
     for c in range(C):
         for dy in range(2 * r + 1):
             for dx in range(-r, r + 1):
                 rows_l = Lw_ref[0, c, hr + dy:hr + dy + B, :]
-                rows_r = Rw_ref[0, c, hr + dy:hr + dy + B, :]
-                wl_ref[k] = _roll(rows_l, dx, 1)
-                wr_ref[k] = _roll(rows_r, dx, 1)
+                wl_ref[:, k:k + 1, :] = jnp.expand_dims(
+                    _roll(rows_l, dx, 1), 1).astype(jnp.bfloat16)
                 k += 1
-    for kz in range(taps, TP):
-        wl_ref[kz] = jnp.zeros((B, WLP), jnp.bfloat16)
-        wr_ref[kz] = jnp.zeros((B, P), jnp.bfloat16)
 
     nchunk = jnp.maximum((s_cnt + XT - 1) // XT, 0)
-    lane_i = jax.lax.broadcasted_iota(jnp.int32, (NT, XT), 1)   # x - x0
-    sub_j = jax.lax.broadcasted_iota(jnp.int32, (NT, XT), 0)    # t index
-    ds_sub = jax.lax.broadcasted_iota(jnp.int32, (XT, XT), 0)   # ds
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (B, NT, XT), 2)
+    sub_j = jax.lax.broadcasted_iota(jnp.int32, (B, NT, XT), 1)
+    ds_sub = jax.lax.broadcasted_iota(jnp.int32, (B, XT, XT), 1)
+
+    # Running best lives in SCRATCH REFS with static-slice stores:
+    # Mosaic has no dynamic_update_slice lowering for carried values.
+    bs_ref[...] = jnp.full((B, W), -1.0, jnp.float32)
+    bt_ref[...] = jnp.full((B, W), -1, jnp.int32)
 
     def chunk_body(ci, carry):
-        best_s, best_t = carry                     # (B, W) f32 / i32
         ds0 = ci * XT
         off = padw + s_min + ds0                   # lane offset of t=0
-        for y in range(B):
-            wr_y = _roll(wr_ref[:, y, :], off, 1)            # (TP, P)
-            muR_y = _roll(muRw_ref[0, y:y + 1, :], off, 1)   # (1, P)
-            invR_y = _roll(invRw_ref[0, y:y + 1, :], off, 1)
-            vR_y = _roll(validRw_ref[0, y:y + 1, :], off, 1)
-            for xi in range(nx):
-                x0 = xi * XT
-                A = wl_ref[:, y, x0:x0 + XT]               # (TP, XT)
-                Bm = wr_y[:, x0:x0 + NT]                   # (TP, NT)
-                cross = jax.lax.dot_general(
-                    Bm, A, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)    # (NT, XT)
-                muL = muL_ref[0, y:y + 1, x0:x0 + XT]      # (1, XT)
-                invL = invL_ref[0, y:y + 1, x0:x0 + XT]
-                act = act_ref[0, y:y + 1, x0:x0 + XT] > 0
-                lo = lo_ref[0, y:y + 1, x0:x0 + XT]
-                hi = hi_ref[0, y:y + 1, x0:x0 + XT]
-                muR = jnp.swapaxes(muR_y[:, x0:x0 + NT], 0, 1)   # (NT, 1)
-                invR = jnp.swapaxes(invR_y[:, x0:x0 + NT], 0, 1)
-                vR = jnp.swapaxes(vR_y[:, x0:x0 + NT], 0, 1)
-                # score op-order mirrors matching.ncc_sweep_match
-                score = (cross - n_val * muL * muR) * invL * invR
-                # absolute target col of sublane j: x0 + s_min+ds0 + j
-                t_abs = (x0 + s_min + ds0) + sub_j
-                ok = (act & (vR > 0.5) & (t_abs >= lo) & (t_abs <= hi))
-                score = jnp.where(ok, score, -2.0)
-                # shear: D[ds, i] = score[i + ds, i]
-                D = score
-                for b in (1, 2, 4, 8, 16, 32, 64):
-                    rolled = _roll(D, b, 0)
-                    D = jnp.where((lane_i & b) > 0, rolled, D)
-                Dv = D[:XT, :]                             # (XT ds, XT x)
-                mx = jnp.max(Dv, axis=0, keepdims=True)    # (1, XT)
-                first = jnp.min(
-                    jnp.where(Dv == mx, ds_sub, jnp.int32(1 << 20)),
-                    axis=0, keepdims=True)                 # (1, XT)
-                x_abs = x0 + jax.lax.broadcasted_iota(
-                    jnp.int32, (1, XT), 1)
-                t_cand = x_abs + (s_min + ds0) + first
-                prev_s = best_s[y:y + 1, x0:x0 + XT]
-                prev_t = best_t[y:y + 1, x0:x0 + XT]
-                upd = mx > prev_s
-                new_s = jnp.where(upd, mx, prev_s)
-                new_t = jnp.where(upd, t_cand, prev_t)
-                best_s = jax.lax.dynamic_update_slice(
-                    best_s, new_s, (y, x0))
-                best_t = jax.lax.dynamic_update_slice(
-                    best_t, new_t, (y, x0))
-        return best_s, best_t
+        # ONE dynamic f32 roll per chunk of the right-view SOURCE, then
+        # the 75 R-side im2col taps rebuild from it (static f32 rolls +
+        # bf16 cast stores) — rolling the bf16 stack directly is
+        # impossible (Mosaic: "Rotate with non-32-bit data"), and for
+        # the common single-chunk case the rebuild costs exactly one
+        # tap build.  The matmul/shear/reduce batch over the B rows
+        # (one dot_general with a batch dim per x-tile — the
+        # per-(row, tile) unrolled form blew up the compile helper).
+        Rw_c = _roll(Rw_ref[0], off, 2)            # (C, B+2*HALO, P) f32
+        k2 = 0
+        for c in range(C):
+            for dy in range(2 * r + 1):
+                for dx in range(-r, r + 1):
+                    rows_r = Rw_c[c, hr + dy:hr + dy + B, :]
+                    wr_ref[:, k2:k2 + 1, :] = jnp.expand_dims(
+                        _roll(rows_r, dx, 1), 1).astype(jnp.bfloat16)
+                    k2 += 1
+        muR_c = _roll(muRw_ref[0], off, 1)         # (B, P)
+        invR_c = _roll(invRw_ref[0], off, 1)
+        vR_c = _roll(validRw_ref[0], off, 1)
+        for xi in range(nx):
+            x0 = xi * XT
+            A = wl_ref[:, :, x0:x0 + XT]           # (B, TP, XT)
+            Bm = wr_ref[:, :, x0:x0 + NT]          # (B, TP, NT)
+            cross = jax.lax.dot_general(
+                Bm, A, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)  # (B, NT, XT)
+            muL = jnp.expand_dims(muL_ref[0, :, x0:x0 + XT], 1)
+            invL = jnp.expand_dims(invL_ref[0, :, x0:x0 + XT], 1)
+            act = jnp.expand_dims(act_ref[0, :, x0:x0 + XT], 1) > 0
+            lo = jnp.expand_dims(lo_ref[0, :, x0:x0 + XT], 1)
+            hi = jnp.expand_dims(hi_ref[0, :, x0:x0 + XT], 1)
+            # two-step slice-then-expand: mixed slice+None indexing
+            # lowers to an (unsupported) gather in the Mosaic path
+            muR = jnp.expand_dims(muR_c[:, x0:x0 + NT], 2)   # (B, NT, 1)
+            invR = jnp.expand_dims(invR_c[:, x0:x0 + NT], 2)
+            vR = jnp.expand_dims(vR_c[:, x0:x0 + NT], 2)
+            # score op-order mirrors matching.ncc_sweep_match
+            score = (cross - n_val * muL * muR) * invL * invR
+            # absolute target col of sublane j: x0 + s_min + ds0 + j
+            t_abs = (x0 + s_min + ds0) + sub_j
+            ok = (act & (vR > 0.5) & (t_abs >= lo) & (t_abs <= hi))
+            score = jnp.where(ok, score, -2.0)
+            # shear: D[y, ds, i] = score[y, i + ds, i]
+            D = score
+            for b in (1, 2, 4, 8, 16, 32, 64):
+                rolled = _roll(D, b, 1)
+                D = jnp.where((lane_i & b) > 0, rolled, D)
+            Dv = D[:, :XT, :]                        # (B, XT ds, XT x)
+            mx = jnp.max(Dv, axis=1, keepdims=True)  # (B, 1, XT)
+            first = jnp.min(
+                jnp.where(Dv == mx, ds_sub, jnp.int32(1 << 20)),
+                axis=1, keepdims=True)               # (B, 1, XT)
+            x_abs = x0 + jax.lax.broadcasted_iota(
+                jnp.int32, (B, 1, XT), 2)
+            t_cand = (x_abs + (s_min + ds0) + first)[:, 0, :]
+            mx2 = mx[:, 0, :]                        # (B, XT)
+            prev_s = bs_ref[:, x0:x0 + XT]
+            prev_t = bt_ref[:, x0:x0 + XT]
+            upd = mx2 > prev_s
+            bs_ref[:, x0:x0 + XT] = jnp.where(upd, mx2, prev_s)
+            bt_ref[:, x0:x0 + XT] = jnp.where(upd, t_cand, prev_t)
+        return carry
 
-    init = (jnp.full((B, W), -1.0, jnp.float32),
-            jnp.full((B, W), -1, jnp.int32))
-    best_s, best_t = jax.lax.fori_loop(0, nchunk, chunk_body, init)
-    score_ref[0] = best_s
-    t_ref[0] = best_t
+    jax.lax.fori_loop(0, nchunk, chunk_body, 0)
+    score_ref[0] = bs_ref[...]
+    t_ref[0] = bt_ref[...]
 
 
 @partial(jax.jit, static_argnames=("radius", "pad_shift", "block",
@@ -240,13 +256,15 @@ def ncc_sweep_match_mxu(
         pads[1] = (left, total - a.shape[1] - left)
         return jnp.pad(a, pads, constant_values=fill)
 
-    # channels lead; bf16 halves the operand stream (exact: see header).
+    # channels lead.  f32 on purpose: Mosaic's (dynamic and static)
+    # lane rotates only support 32-bit data, so every roll happens on
+    # f32 and the bf16 cast lands at the im2col SCRATCH stores.
     # L keeps x=0 at col 0: the negative-dx tap rolls wrap right-end
     # ZEROS into cols 0..r-1, exactly the XLA `shifted` zero fill.
     Lh = jnp.moveaxis(widecols(rows(imgL, 0.0, HALO), 0.0, 0, WLP),
-                      -1, 0).astype(jnp.bfloat16)
+                      -1, 0)
     Rh = jnp.moveaxis(widecols(rows(imgR, 0.0, HALO), 0.0, pad_shift, P),
-                      -1, 0).astype(jnp.bfloat16)
+                      -1, 0)
     muRw = widecols(rows(momR.mean, 0.0, 0), 0.0, pad_shift, P)
     invRw = widecols(rows(momR.inv_norm, 1.0, 0), 1.0, pad_shift, P)
     validRw = widecols(rows(validR.astype(jnp.float32), 0.0, 0), 0.0,
@@ -289,8 +307,10 @@ def ncc_sweep_match_mxu(
         out_shape=[jax.ShapeDtypeStruct((nb, B, W), jnp.float32),
                    jax.ShapeDtypeStruct((nb, B, W), jnp.int32)],
         scratch_shapes=[
-            pltpu.VMEM((TP, B, WLP), jnp.bfloat16),
-            pltpu.VMEM((TP, B, P), jnp.bfloat16),
+            pltpu.VMEM((B, TP, WLP), jnp.bfloat16),
+            pltpu.VMEM((B, TP, P), jnp.bfloat16),
+            pltpu.VMEM((B, W), jnp.float32),
+            pltpu.VMEM((B, W), jnp.int32),
         ],
         interpret=interpret,
     )(scalars, band_halo(Lh), band_halo(Rh), flat(muL), flat(invL),

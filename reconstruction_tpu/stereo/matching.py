@@ -108,7 +108,7 @@ def ncc_sweep_match(
     radius: int,
     band: int = 0,
     tile: int = 0,
-    sblock: int = 8,
+    sblock: int = 1,
 ) -> SweepResult:
     """Argmax-NCC match of active left pixels against target columns in
     [bound_lo, bound_hi] (absolute, inclusive, per pixel).
@@ -126,14 +126,15 @@ def ncc_sweep_match(
         — essential at fine pyramid levels where hole pixels can carry
         near-full-row search intervals (`HighLevelInitialMatch`'s
         fallthrough bounds, `CStereoMatching.cpp:259-288`).
-      sblock: shifts per loop iteration.  The depth-1 body re-reads L,
-        the moment maps and the running-best maps from HBM EVERY shift
-        (~140 MB/shift at 1920x1280 — the r4 roofline showed the sweep
-        bound by neither ideal-flops nor ideal-bytes because the REAL
-        traffic was this re-read); a K-shift body slices the shifted
-        operands once and applies K select-updates while everything is
-        fused, cutting main-memory traffic ~K-fold.  Results are
-        bit-identical (same ascending-candidate select chain).
+      sblock: shifts per loop iteration (bit-identical for any K —
+        same ascending-candidate select chain).  MEASURED SLOWER than
+        depth-1 on-chip and kept at 1: the r5 A/B (chained harness,
+        tools/validate_mxu_sweep.py) read depth-1 at 7.5 ms/64 shifts
+        vs 13.6/11.3/17.9 ms at K=4/8/16 — XLA already fuses the
+        depth-1 body into one pass over the operands, and the K-wide
+        slices materialize as extra copies instead of amortizing
+        reads.  The hypothesis that the body re-read its operands
+        per shift was wrong; kept as a documented negative result.
 
     Returns disparity d = t - x (reference convention) and the best score.
     A pixel matches only if some candidate scores > -1
@@ -224,7 +225,7 @@ def _ncc_sweep_match_banded(
     bound_hi: jnp.ndarray,
     radius: int,
     band: int,
-    sblock: int = 8,
+    sblock: int = 1,
 ) -> SweepResult:
     """Row-banded sweep: each band of rows runs its own shift range."""
     H, W = imgL.shape[:2]
@@ -323,7 +324,7 @@ def _ncc_sweep_match_tiled(
     radius: int,
     band: int,
     tile: int,
-    sblock: int = 8,
+    sblock: int = 1,
 ) -> SweepResult:
     """2D-tiled sweep: each (band-rows x tile-cols) tile sweeps only ITS
     OWN shift range.

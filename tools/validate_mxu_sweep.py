@@ -42,42 +42,55 @@ def main():
     lo = jnp.asarray(np.clip(np.broadcast_to(x, (H, W)), 0, W - 1))
     hi = jnp.asarray(np.clip(x + S - 1, 0, W - 1) * np.ones((H, 1), np.int32))
 
+    import bench as benchmod
+
     def timed(tag, fn, reps=3):
+        """fn(eps) must fold eps into an operand so chained iterations
+        depend on each other (nothing hoists/elides)."""
         # correctness first
-        out = fn()
+        out = fn(jnp.float32(0))
         block_ready(out.disparity)
         d = np.asarray(out.disparity)
-        # chained-ish timing: run twice back to back, fence on a
-        # dependent fetch; repeat and take best
-        best = np.inf
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            o1 = fn()
-            o2 = fn()
-            s = float(jnp.sum(o1.disparity) + jnp.sum(o2.disparity))
-            dt = (time.perf_counter() - t0) / 2
-            best = min(best, dt)
-        print(f"{tag}: {best * 1e3:.2f} ms", flush=True)
-        return d, best
 
-    args = (iL, iR, vR, act, lo, hi, 2)
-    d_ref, t_ref = timed("xla depth-1 (sblock=1)",
-                         lambda: ncc_sweep_match(*args, sblock=1))
+        # chained on-device loop (bench._time_chained): two-point
+        # differencing cancels relay dispatch + fence costs.
+        def make_loop(n):
+            @jax.jit
+            def f():
+                def body(i, acc):
+                    o = fn(acc * 1e-30)
+                    return acc + o.disparity[0, 0]
+                return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+            return f
+
+        t = benchmod._time_chained(make_loop, 1, reps)
+        print(f"{tag}: {t * 1e3:.2f} ms", flush=True)
+        return d, t
+
+    rest = (iR, vR, act, lo, hi, 2)
+    d_ref, t_ref = timed(
+        "xla depth-1 (sblock=1)",
+        lambda eps: ncc_sweep_match(iL + eps, *rest, sblock=1))
     for K in (4, 8, 16):
-        d_k, t_k = timed(f"xla sblock={K}",
-                         lambda K=K: ncc_sweep_match(*args, sblock=K))
+        d_k, t_k = timed(
+            f"xla sblock={K}",
+            lambda eps, K=K: ncc_sweep_match(iL + eps, *rest, sblock=K))
         assert np.array_equal(d_ref, d_k), f"sblock={K} mismatch"
-    d_p, t_p = timed("pallas vpu", lambda: ncc_sweep_match_pallas(*args))
+    d_p, t_p = timed(
+        "pallas vpu",
+        lambda eps: ncc_sweep_match_pallas(iL + eps, *rest))
     assert np.array_equal(d_ref, d_p), "pallas mismatch"
     try:
-        d_m, t_m = timed("pallas mxu", lambda: ncc_sweep_match_mxu(*args))
+        d_m, t_m = timed(
+            "pallas mxu",
+            lambda eps: ncc_sweep_match_mxu(iL + eps, *rest))
         eq = np.array_equal(d_ref, d_m)
         print(f"mxu equal: {eq}", flush=True)
         if not eq:
             diff = (d_ref != d_m)
             print(f"  mismatch frac {diff.mean():.2e}", flush=True)
     except Exception as e:  # Mosaic lowering issues surface here
-        print(f"mxu FAILED: {type(e).__name__}: {e}", flush=True)
+        print(f"mxu FAILED: {type(e).__name__}: {str(e)[:300]}", flush=True)
 
 
 if __name__ == "__main__":
