@@ -28,7 +28,8 @@ def main():
 
     print(f"backend: {jax.devices()[0].device_kind}", flush=True)
     rng = np.random.default_rng(3)
-    H, W = 64, 256
+    H = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    W = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     iL = quantize_u8(jnp.asarray(
         rng.uniform(0, 255, (H, W, 3)).astype(np.float32)))
     iR = quantize_u8(jnp.asarray(
