@@ -154,8 +154,18 @@ def _time_op(fn, *args, reps=3):
     import jax
     import jax.numpy as jnp
 
-    out = fn(*args)
-    jax.block_until_ready(out)
+    for attempt in range(4):  # remote_compile relay transients (see
+        try:                  # _time_chained) — cached retry is cheap
+            out = fn(*args)
+            jax.block_until_ready(out)
+            break
+        except Exception as e:  # noqa: BLE001
+            if attempt == 3 or "remote_compile" not in str(e):
+                raise
+            print(f"[bench] remote_compile transient (attempt "
+                  f"{attempt + 1}), retrying: {str(e)[:120]}",
+                  file=sys.stderr, flush=True)
+            time.sleep(5.0)
     first = jax.tree_util.tree_leaves(out)[0]
     float(jnp.ravel(first)[0].astype(jnp.float32))  # warm + hard sync
 
@@ -198,7 +208,21 @@ def _time_chained(make_loop, n_lo, n_hi, reps=2):
 
     def run(n):
         fn = make_loop(n)
-        float(jnp.asarray(fn()).astype(jnp.float32))  # compile + warm
+        # The relay's remote_compile endpoint drops connections
+        # transiently on large programs ("response body closed before
+        # all bytes were read"); the compile itself lands in the
+        # persistent cache, so a short retry resumes where it left off.
+        for attempt in range(4):
+            try:
+                float(jnp.asarray(fn()).astype(jnp.float32))  # compile+warm
+                break
+            except Exception as e:  # noqa: BLE001 — relay transient
+                if attempt == 3 or "remote_compile" not in str(e):
+                    raise
+                print(f"[bench] remote_compile transient (attempt "
+                      f"{attempt + 1}), retrying: {str(e)[:120]}",
+                      file=sys.stderr, flush=True)
+                time.sleep(5.0)
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()

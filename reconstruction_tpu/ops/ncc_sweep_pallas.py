@@ -45,9 +45,9 @@ def _shift_zero(a, d):
 HALO = 8  # halo rows; multiple of 8 so (B + 2*HALO) stays sublane-aligned
 
 
-def _sweep_kernel(r, B, W, C, n, P, smem_scalars, L_ref, Rw_ref, muL_ref,
-                  invL_ref, muRw_ref, invRw_ref, validRw_ref, act_ref,
-                  lo_ref, hi_ref, score_ref, t_ref):
+def _sweep_kernel(r, B, W, C, n, P, shift_mode, smem_scalars, L_ref,
+                  Rw_ref, muL_ref, invL_ref, muRw_ref, invRw_ref,
+                  validRw_ref, act_ref, lo_ref, hi_ref, score_ref, t_ref):
     """One row-block: loop s = s0..s0+s_cnt-1 with all operands in VMEM.
 
     Layout rules (Mosaic dynamic_rotate constraints, found on-chip):
@@ -63,6 +63,20 @@ def _sweep_kernel(r, B, W, C, n, P, smem_scalars, L_ref, Rw_ref, muL_ref,
     The per-shift read R[.., x+off] is a dynamic pltpu.roll along lanes
     followed by a static [:W] slice — off <= P-W guarantees x+off < P,
     so the circular wrap never reaches the kept columns.
+
+    shift_mode:
+      "dynamic"   — every shift re-rotates the 6 R-side planes from
+                    base by the traced offset; Mosaic lowers each
+                    dynamic rotate to ~log2(P) conditional rotate
+                    stages, which DOMINATES the op stream at 64 shifts
+                    (both this kernel and the XLA sweep sat at
+                    ~7.2-7.6 ms / 64 shifts at 1920x1280 — the shared
+                    rotate bottleneck).
+      "increment" — ONE dynamic rotate per plane at loop entry
+                    (offset s0), then the planes ride the fori_loop
+                    carry and advance by a STATIC roll-by-1 per shift
+                    (single rotate stage).  Circular rotations compose
+                    exactly, so the result is BIT-EQUAL to "dynamic".
 
     Shapes: L: (C, B+2*HALO, W); Rw: (C, B+2*HALO, P); muL/invL/act/
     lo/hi: (B, W); muRw/invRw/validRw: (B, P); outputs (B, W).
@@ -81,18 +95,16 @@ def _sweep_kernel(r, B, W, C, n, P, smem_scalars, L_ref, Rw_ref, muL_ref,
     hi = hi_ref[0]
     x = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
 
-    def shifted_cols(a, off):
-        """a[.., x + off] for traced off in [0, P-W]."""
-        rolled = pltpu.roll(a, (P - off) % P, axis=a.ndim - 1)
-        return rolled[..., :W]
+    def roll_cols(a, off):
+        """Circular left-roll so out[.., p] = a[.., (p + off) % P]."""
+        return pltpu.roll(a, (P - off) % P, axis=a.ndim - 1)
 
-    def body(k, carry):
-        best_score, best_t = carry
-        s = s0 + k
-        off = padw + s
-        prod = shifted_cols(Rw_ref[0, 0], off) * L_ref[0, 0]
+    def score_update(s, Rp, muR_p, invR_p, vR_p, best_score, best_t):
+        """Score shift s from already-rolled P-wide planes; the math
+        (op order, tie-break) mirrors the XLA sweep exactly."""
+        prod = Rp[0][..., :W] * L_ref[0, 0]
         for c in range(1, C):
-            prod = prod + shifted_cols(Rw_ref[0, c], off) * L_ref[0, c]
+            prod = prod + Rp[c][..., :W] * L_ref[0, c]
         bx = prod                                      # (B+2*HALO, W)
         for d in range(1, r + 1):
             bx = bx + _shift_zero(prod, d) + _shift_zero(prod, -d)
@@ -100,26 +112,53 @@ def _sweep_kernel(r, B, W, C, n, P, smem_scalars, L_ref, Rw_ref, muL_ref,
         for d in range(1, r + 1):
             cross = (cross + bx[HALO - d:HALO - d + B]
                      + bx[HALO + d:HALO + d + B])
-        muR_s = shifted_cols(muRw, off)
-        invR_s = shifted_cols(invRw, off)
-        vR_s = shifted_cols(validRw, off)
-        score = (cross - n * muL * muR_s) * invL * invR_s
+        score = (cross - n * muL * muR_p[..., :W]) * invL * invR_p[..., :W]
         t = x + s
-        ok = act & (vR_s > 0.5) & (t >= lo) & (t <= hi)
+        ok = act & (vR_p[..., :W] > 0.5) & (t >= lo) & (t <= hi)
         score = jnp.where(ok, score, -2.0)
         upd = score > best_score
         return (jnp.where(upd, score, best_score),
                 jnp.where(upd, t, best_t))
 
-    init = (jnp.full((B, W), -1.0, jnp.float32),
-            jnp.full((B, W), -1, jnp.int32))
-    best_score, best_t = jax.lax.fori_loop(0, s_cnt, body, init)
+    init_best = (jnp.full((B, W), -1.0, jnp.float32),
+                 jnp.full((B, W), -1, jnp.int32))
+
+    if shift_mode == "increment":
+        off0 = padw + s0
+        planes0 = tuple(
+            [roll_cols(Rw_ref[0, c], off0) for c in range(C)]
+            + [roll_cols(muRw, off0), roll_cols(invRw, off0),
+               roll_cols(validRw, off0)])
+
+        def body(k, carry):
+            best_score, best_t, planes = carry
+            best_score, best_t = score_update(
+                s0 + k, planes[:C], planes[C], planes[C + 1],
+                planes[C + 2], best_score, best_t)
+            nxt = tuple(pltpu.roll(p, P - 1, axis=p.ndim - 1)
+                        for p in planes)
+            return best_score, best_t, nxt
+
+        best_score, best_t, _ = jax.lax.fori_loop(
+            0, s_cnt, body, (*init_best, planes0))
+    else:
+        def body(k, carry):
+            best_score, best_t = carry
+            s = s0 + k
+            off = padw + s
+            Rp = [roll_cols(Rw_ref[0, c], off) for c in range(C)]
+            return score_update(s, Rp, roll_cols(muRw, off),
+                                roll_cols(invRw, off),
+                                roll_cols(validRw, off),
+                                best_score, best_t)
+
+        best_score, best_t = jax.lax.fori_loop(0, s_cnt, body, init_best)
     score_ref[0] = best_score
     t_ref[0] = best_t
 
 
 @partial(jax.jit, static_argnames=("radius", "pad_shift", "block",
-                                  "interpret"))
+                                  "interpret", "shift_mode"))
 def ncc_sweep_match_pallas(
     imgL: jnp.ndarray,
     imgR: jnp.ndarray,
@@ -133,6 +172,7 @@ def ncc_sweep_match_pallas(
     pad_shift: int = 128,
     block: int = 24,
     interpret: bool = False,
+    shift_mode: str = "dynamic",
 ) -> SweepResult:
     """Drop-in fused-sweep alternative to `ncc_sweep_match` for shift
     ranges within +-pad_shift (the padded width bounds how far the
@@ -140,6 +180,10 @@ def ncc_sweep_match_pallas(
 
     s_min/s_max: optional traced scalars bounding the shift range; by
     default derived from the bounds maps exactly like the XLA path.
+    shift_mode: see `_sweep_kernel` — "increment" replaces the
+    per-shift dynamic rotates with carried planes + static roll-by-1
+    (bit-equal; the rotate-stage count is the dominant cost at
+    64-shift sweeps).
     """
     H, W = imgL.shape[:2]
     if imgL.ndim == 2:
@@ -214,7 +258,7 @@ def ncc_sweep_match_pallas(
         return a.reshape(nb, B, *a.shape[1:])
 
     out = pl.pallas_call(
-        partial(_sweep_kernel, r, B, W, C, n, P),
+        partial(_sweep_kernel, r, B, W, C, n, P, shift_mode),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

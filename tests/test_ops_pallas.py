@@ -119,16 +119,17 @@ def test_ncc_sweep_pallas_matches_xla(rng):
                               jnp.asarray(validR), jnp.asarray(active),
                               jnp.asarray(lo.astype(np.int32)),
                               jnp.asarray(hi.astype(np.int32)), 2)
-        out = ncc_sweep_match_pallas(
-            jnp.asarray(imgL), jnp.asarray(imgR), jnp.asarray(validR),
-            jnp.asarray(active), jnp.asarray(lo.astype(np.int32)),
-            jnp.asarray(hi.astype(np.int32)), 2, pad_shift=48, block=8,
-            interpret=True)
-        np.testing.assert_array_equal(np.asarray(ref.disparity),
-                                      np.asarray(out.disparity))
-        sc = np.isclose(np.asarray(ref.score), np.asarray(out.score),
-                        atol=1e-4)
-        assert sc.mean() > 0.999
+        for mode in ("dynamic", "increment"):
+            out = ncc_sweep_match_pallas(
+                jnp.asarray(imgL), jnp.asarray(imgR), jnp.asarray(validR),
+                jnp.asarray(active), jnp.asarray(lo.astype(np.int32)),
+                jnp.asarray(hi.astype(np.int32)), 2, pad_shift=48,
+                block=8, interpret=True, shift_mode=mode)
+            np.testing.assert_array_equal(np.asarray(ref.disparity),
+                                          np.asarray(out.disparity))
+            sc = np.isclose(np.asarray(ref.score), np.asarray(out.score),
+                            atol=1e-4)
+            assert sc.mean() > 0.999
 
 
 def test_refine_pallas_tree_extract_matches_chain(rng):
