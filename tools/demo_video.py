@@ -109,8 +109,8 @@ def main():
     out = {"frames": nvecs, "views": 4 * nvecs, "size": [W, H],
            "wall_s": round(wall, 1),
            "per_frame_s": round(wall / nvecs, 2),
-           "pose_err_deg_final": round(errs[-1], 3),
-           "pose_err_deg_max": round(max(errs), 3),
+           "pose_err_deg_final": round(float(errs[-1]), 3),
+           "pose_err_deg_max": round(float(max(errs)), 3),
            "mesh_rmse_median": round(float(np.median(rmses)), 4),
            "verts_median": int(np.median(
                [len(r.mesh_vertices) for r in results]))}
