@@ -399,19 +399,21 @@ def ba_blocks(
                      for i in range(6)])                      # (6, N)
     b_c = -jnp.matmul(gct, oh, precision=hi).T                # (C, 6)
 
-    # Couplings W_t[e, c, m] = sum_o He[e, m, o] [cam[m, o] == c],
-    # accumulated over the (unrolled, O<=8) observation axis so each He
-    # component slice streams ONCE.  The r4 broadcast-reduce
-    # ((He[:, None] * oh_t[None]).sum(-1) over (18, C, M, O)) re-read
-    # the He rows per camera — ~1.2 GB at 16 cams / 64k pts, the
-    # kernel's dominant remaining traffic (BENCH_NOTES r4 final state).
+    # Couplings W_t[e, c, m] = sum_o He[e, m, o] [cam[m, o] == c] via
+    # the fused broadcast-reduce over (18, C, M, O).  This re-reads He
+    # rows per camera (~1.2 GB at 16 cams / 64k pts) but measures
+    # 9.6-11 ms for the full step; the r5 "He-streaming" o-unrolled
+    # accumulation was measured WORSE (16.5 ms): each unrolled add
+    # streams the 75 MB (18, C, M) accumulator through HBM, trading
+    # 1.2 GB of He re-reads for ~1.2 GB of accumulator traffic plus
+    # overhead.  The real fix is an M-tiled contraction kernel holding
+    # the (18, C, Mt) accumulator in VMEM (traffic floor ~145 MB);
+    # until then the fused reduce is the fastest XLA formulation.
+    He = jnp.stack([(Jc[0][i] * Jp[0][j] + Jc[1][i] * Jp[1][j])
+                    .reshape(M, O)
+                    for i in range(6) for j in range(3)])     # (18, M, O)
     oh_t = oh.T.reshape(C, M, O)
-    He_mo = [(Jc[0][i] * Jp[0][j] + Jc[1][i] * Jp[1][j]).reshape(M, O)
-             for i in range(6) for j in range(3)]             # 18 x (M, O)
-    W_t = jnp.zeros((18, C, M), poses.dtype)
-    for o in range(O):
-        He_o = jnp.stack([h[:, o] for h in He_mo])            # (18, M)
-        W_t = W_t + He_o[:, None, :] * oh_t[None, :, :, o]    # (18, C, M)
+    W_t = (He[:, None] * oh_t[None]).sum(-1)                  # (18, C, M)
 
     # Schur reduction: S = blockdiag(Hcc) - sum_k Xk Yk^T with
     # (c, i)-major (6C, M) slabs — three clean MXU matmuls.
