@@ -399,21 +399,36 @@ def ba_blocks(
                      for i in range(6)])                      # (6, N)
     b_c = -jnp.matmul(gct, oh, precision=hi).T                # (C, 6)
 
-    # Couplings W_t[e, c, m] = sum_o He[e, m, o] [cam[m, o] == c] via
-    # the fused broadcast-reduce over (18, C, M, O).  This re-reads He
-    # rows per camera (~1.2 GB at 16 cams / 64k pts) but measures
-    # 9.6-11 ms for the full step; the r5 "He-streaming" o-unrolled
-    # accumulation was measured WORSE (16.5 ms): each unrolled add
-    # streams the 75 MB (18, C, M) accumulator through HBM, trading
-    # 1.2 GB of He re-reads for ~1.2 GB of accumulator traffic plus
-    # overhead.  The real fix is an M-tiled contraction kernel holding
-    # the (18, C, Mt) accumulator in VMEM (traffic floor ~145 MB);
-    # until then the fused reduce is the fastest XLA formulation.
-    He = jnp.stack([(Jc[0][i] * Jp[0][j] + Jc[1][i] * Jp[1][j])
-                    .reshape(M, O)
-                    for i in range(6) for j in range(3)])     # (18, M, O)
-    oh_t = oh.T.reshape(C, M, O)
-    W_t = (He[:, None] * oh_t[None]).sum(-1)                  # (18, C, M)
+    # Couplings W_t[e, c, m] = sum_o He[e, m, o] [cam[m, o] == c].
+    # Three formulations measured (BENCH_NOTES r5):
+    #   * XLA fused broadcast-reduce over (18, C, M, O): re-reads He
+    #     rows per camera (~1.2 GB at 16 cams / 64k pts) — 9.6-11 ms
+    #     full step;
+    #   * o-unrolled accumulation: streams the 75 MB (18, C, M)
+    #     accumulator per observation (~1.5 GB) — 16.5 ms (rejected);
+    #   * M-tiled Pallas contraction (ops/ba_coupling_pallas): VMEM
+    #     accumulator, every operand streamed once (~145 MB floor) —
+    #     the TPU path (RECON_BA_COUPLING=xla opts out; o-sum order
+    #     differs from the axis-reduce by f32 reassociation only).
+    import os as _os
+    _d = jax.devices()[0]
+    _is_tpu = ("tpu" in _d.platform.lower()
+               or "tpu" in getattr(_d, "device_kind", "").lower())
+    use_pallas = _os.environ.get("RECON_BA_COUPLING", "pallas") == \
+        "pallas" and _is_tpu
+    if use_pallas:
+        from reconstruction_tpu.ops.ba_coupling_pallas import (
+            ba_coupling_pallas)
+        He_om = jnp.stack([(Jc[0][i] * Jp[0][j] + Jc[1][i] * Jp[1][j])
+                           .reshape(M, O).T
+                           for i in range(6) for j in range(3)])
+        W_t = ba_coupling_pallas(He_om, problem.obs_cam.T, C)
+    else:
+        He = jnp.stack([(Jc[0][i] * Jp[0][j] + Jc[1][i] * Jp[1][j])
+                        .reshape(M, O)
+                        for i in range(6) for j in range(3)])  # (18,M,O)
+        oh_t = oh.T.reshape(C, M, O)
+        W_t = (He[:, None] * oh_t[None]).sum(-1)               # (18,C,M)
 
     # Schur reduction: S = blockdiag(Hcc) - sum_k Xk Yk^T with
     # (c, i)-major (6C, M) slabs — three clean MXU matmuls.

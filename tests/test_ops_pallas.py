@@ -211,3 +211,22 @@ def test_ncc_sweep_mxu_matches_xla(rng):
                                       np.asarray(got.disparity))
         np.testing.assert_array_equal(np.asarray(ref.score),
                                       np.asarray(got.score))
+
+
+def test_ba_coupling_pallas_matches_reduce(rng):
+    """M-tiled coupling contraction == the XLA broadcast-reduce to f32
+    reassociation tolerance (serial vs tree o-sum), including -1 /
+    out-of-range camera padding and a non-MT-multiple M."""
+    from reconstruction_tpu.ops.ba_coupling_pallas import ba_coupling_pallas
+
+    E, O, M, C = 18, 8, 700, 16
+    He = rng.normal(size=(E, O, M)).astype(np.float32)
+    cam = rng.integers(0, C, (O, M)).astype(np.int32)
+    cam[:, -5:] = -1  # padded observations contribute nothing
+    got = ba_coupling_pallas(jnp.asarray(He), jnp.asarray(cam), C,
+                             interpret=True)
+    oh = (cam[None, :, :] == np.arange(C)[:, None, None])  # (C, O, M)
+    ref = np.einsum("eom,com->ecm", He, oh.astype(np.float32))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5,
+                               atol=1e-5)
+    assert np.all(np.asarray(got)[:, :, -5:] == 0.0)
